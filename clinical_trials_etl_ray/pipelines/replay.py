@@ -1,0 +1,195 @@
+"""CDC replay driver: chunked LSN-range ingest with atomic commits + resume.
+
+Lifecycle per chunk (SURVEY §3.4):
+  read_parquet(shards) → map_batches(prep: schema-unify + watermark filter +
+  bucket) → map_batches(in-batch LWW dedupe) → groupby("bucket") →
+  map_groups(write_bucket_delta) → driver collects the tiny per-bucket stats
+  table → Manifest.commit (atomic rename) → next chunk.
+
+Resume: shards whose max LSN ≤ the committed global watermark are skipped at
+the planning step (file-level pruning from parquet stats — no data read);
+straddling shards are row-filtered in prep; the merge re-filters per bucket.
+Crash between staging and commit leaves unreferenced orphans only.
+
+Constraint (documented, enforced by the chunk planner): out-of-order delivery
+must be bounded within one chunk's LSN span — a true CDC binlog is
+LSN-ordered across files, so chunk boundaries are safe cut points.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..stages.dedupe import dedupe_batch
+from ..stages.merge import compact_bucket, make_bucket_merge_fn, prep_batch
+from ..state.manifest import Manifest
+
+
+@dataclass
+class ReplayReport:
+    chunks_total: int = 0
+    chunks_skipped: int = 0
+    chunks_applied: int = 0
+    events_read: int = 0
+    delta_rows_written: int = 0
+    final_version: int = 0
+
+
+def _shard_lsn_range(path: str) -> tuple[int, int]:
+    """(min_lsn, max_lsn) from parquet row-group stats — no data read."""
+    md = pq.read_metadata(path)
+    lo, hi = None, None
+    idx = md.schema.to_arrow_schema().get_field_index("lsn")
+    for rg in range(md.num_row_groups):
+        col = md.row_group(rg).column(idx)
+        if col.statistics is not None and col.statistics.has_min_max:
+            lo = col.statistics.min if lo is None else min(lo, col.statistics.min)
+            hi = col.statistics.max if hi is None else max(hi, col.statistics.max)
+    if lo is None:  # stats missing: fall back to reading just the lsn column
+        t = pq.read_table(path, columns=["lsn"])
+        lo = pc.min(t["lsn"]).as_py()
+        hi = pc.max(t["lsn"]).as_py()
+    return int(lo), int(hi)
+
+
+def plan_chunks(
+    shard_paths: list, files_per_chunk: int, disorder_bound: int = 0
+) -> list:
+    """Order shards by min LSN and group into chunks of N files.
+
+    Returns [(paths, commit_watermark_lsn, chunk_max_lsn), ...]. The commit
+    watermark for chunk i is the highest LSN *below which every event has
+    been delivered* once chunks 0..i are applied: min(running max LSN, (min
+    LSN of any later chunk) - 1). For the FINAL chunk there is no later-chunk
+    evidence, so the watermark is ``running_max - disorder_bound``:
+    ``disorder_bound`` is the producer's guaranteed bound on out-of-order
+    delivery in LSN units (0 for a true LSN-ordered WAL). Conservative
+    watermarks only cause idempotent re-application (LWW no-ops), never
+    loss."""
+    ranged = sorted(
+        ((p,) + _shard_lsn_range(p) for p in shard_paths), key=lambda t: t[1]
+    )
+    groups = [ranged[i : i + files_per_chunk] for i in range(0, len(ranged), files_per_chunk)]
+    chunks = []
+    running_max = -1
+    for i, part in enumerate(groups):
+        running_max = max(running_max, max(hi for _, _, hi in part))
+        later_min = min(
+            (lo for g in groups[i + 1 :] for _, lo, _ in g), default=None
+        )
+        if later_min is None:
+            wm = running_max - disorder_bound
+        else:
+            wm = min(running_max, later_min - 1)
+        chunk_max = max(hi for _, _, hi in part)
+        chunks.append(([p for p, _, _ in part], wm, chunk_max))
+    return chunks
+
+
+def replay(
+    binlog: str | list,
+    lake_dir: str,
+    num_buckets: int = 64,
+    files_per_chunk: int = 16,
+    batch_size: int = 128 * 1024,
+    disorder_bound: int = 0,
+) -> ReplayReport:
+    """Replay a binlog directory (or explicit shard list) into the lake.
+
+    Idempotent and resumable: re-running after any interruption converges to
+    the same committed state. Ray must already be initialized (or Ray Data
+    will auto-init in standalone use); this function never calls ray.init."""
+    import ray.data
+
+    if isinstance(binlog, str):
+        shard_paths = sorted(
+            os.path.join(binlog, f)
+            for f in os.listdir(binlog)
+            if f.endswith(".parquet")
+        )
+    else:
+        shard_paths = list(binlog)
+
+    man = Manifest.load_or_create(lake_dir, num_buckets)
+    report = ReplayReport()
+    chunks = plan_chunks(shard_paths, files_per_chunk, disorder_bound)
+    report.chunks_total = len(chunks)
+
+    for paths, commit_wm, chunk_max_lsn in chunks:
+        wm_global = man.global_watermark()
+        if chunk_max_lsn <= wm_global:
+            report.chunks_skipped += 1
+            continue
+
+        ds = ray.data.read_parquet(paths)
+        ds = ds.map_batches(
+            prep_batch,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            fn_kwargs={"num_buckets": num_buckets, "min_lsn_exclusive": wm_global},
+        )
+        ds = ds.map_batches(dedupe_batch, batch_format="pyarrow", batch_size=batch_size)
+        merge_fn = make_bucket_merge_fn(lake_dir, man.watermarks())
+        stats_ds = ds.groupby("bucket").map_groups(merge_fn, batch_format="pyarrow")
+        stats = stats_ds.take_all()  # tiny: ≤ one row per bucket
+
+        new_files = [
+            {
+                "bucket": int(r["bucket"]),
+                "path": r["path"],
+                "kind": r["kind"],
+                "content_hash": r["content_hash"],
+                "row_count": int(r["row_count"]),
+                "min_lsn": int(r["min_lsn"]),
+                "max_lsn": int(r["max_lsn"]),
+            }
+            for r in stats
+        ]
+        delta_rows = sum(f["row_count"] for f in new_files)
+        man = man.commit(
+            new_files,
+            new_watermark_lsn=max(commit_wm, wm_global),
+            schema_names=["lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"],
+            metrics={"chunk_max_lsn": chunk_max_lsn, "delta_rows": delta_rows},
+        )
+        report.chunks_applied += 1
+        report.delta_rows_written += delta_rows
+
+    report.final_version = man.version
+    return report
+
+
+def compact(lake_dir: str, tombstone_horizon_us: int | None = None) -> int:
+    """Fold every bucket's base+deltas into one base file each; one manifest
+    commit swaps all file lists atomically. Returns buckets compacted.
+
+    Runs as parallel Ray tasks — compaction is partition-aligned (no
+    shuffle)."""
+    import ray
+
+    man = Manifest.load(lake_dir)
+
+    @ray.remote
+    def _do(bucket: int, files: list):
+        return bucket, compact_bucket(lake_dir, bucket, files, tombstone_horizon_us)
+
+    refs = [
+        _do.remote(b, man.files_for_bucket(b))
+        for b in range(man.num_buckets)
+        if man.files_for_bucket(b)
+    ]
+    replace = {}
+    for bucket, info in ray.get(refs):
+        replace[bucket] = [info] if info else []
+    man2 = man.commit(
+        [],
+        new_watermark_lsn=man.global_watermark(),
+        replace_buckets=replace,
+        metrics={"compaction": True},
+    )
+    man2.cleanup_orphans()
+    return len(replace)

@@ -1,0 +1,78 @@
+"""Canonical Arrow schemas for the CDC/incremental-ingest engine.
+
+The lake table models multi-turn conversation transcripts keyed by
+``(conv_id, turn_idx)``; the change-event (binlog) schema layers an LSN total
+order and an op column on top. This is the Ray-Data-native generalization of
+the reference's keyed-upsert data model: MongoDB's unique index on
+``header.euct_number`` plus ``update_one({key}, {"$set": doc}, upsert=True)``
+(reference: trials_extractor/storage/mongodb_storage.py:87-92, 229-231) is
+last-writer-wins keyed upsert; here the key is composite and the writer order
+is the deterministic ``(ts, lsn)`` pair instead of racy arrival order
+(reference: trials_extractor/utils/batch_utils.py:54-65 drains an
+as_completed pool nondeterministically).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+# The user-facing lake table (BASELINE.json input_hint shape).
+TRANSCRIPT_SCHEMA = pa.schema(
+    [
+        pa.field("conv_id", pa.string()),       # upsert key part 1
+        pa.field("turn_idx", pa.int32()),       # upsert key part 2
+        pa.field("role", pa.string()),
+        pa.field("text", pa.string()),          # per-turn equality invariant
+        pa.field("tool", pa.string()),          # nullable; schema-evolution column
+        pa.field("ts", pa.timestamp("us")),     # LWW tiebreaker before lsn
+    ]
+)
+
+# Change-event (binlog) rows. Files are LSN-range shards.
+EVENT_SCHEMA = pa.schema(
+    [
+        pa.field("lsn", pa.int64()),            # unique, totally ordered
+        pa.field("op", pa.string()),            # insert | update | delete
+        pa.field("conv_id", pa.string()),
+        pa.field("turn_idx", pa.int32()),
+        pa.field("role", pa.string()),          # null for deletes
+        pa.field("text", pa.string()),          # null for deletes
+        pa.field("tool", pa.string()),          # appears mid-stream (evolution)
+        pa.field("ts", pa.timestamp("us")),
+    ]
+)
+
+# Early-epoch event schema, before the additive ``tool`` column appears.
+EVENT_SCHEMA_V0 = pa.schema([f for f in EVENT_SCHEMA if f.name != "tool"])
+
+# Physical lake-file schema: base and delta files both carry the full event
+# payload so that LWW can be re-resolved across base + deltas at read time
+# (merge-on-read). ``op`` is retained so delete tombstones survive until
+# compaction.
+LAKE_FILE_SCHEMA = EVENT_SCHEMA
+
+KEY_COLUMNS = ["conv_id", "turn_idx"]
+ORDER_COLUMNS = ["ts", "lsn"]          # LWW winner = max over this pair
+PAYLOAD_COLUMNS = ["role", "text", "tool"]
+
+OPS = ("insert", "update", "delete")
+
+
+def unify_to_event_schema(table: pa.Table) -> pa.Table:
+    """Project ``table`` onto EVENT_SCHEMA, null-filling absent columns.
+
+    Implements additive schema evolution: early binlog shards lack ``tool``
+    (the reference analog is dropped-empty-keys dynamic schema,
+    trials_extractor/processors/cleaner.py:92-125 — we keep nulls instead of
+    dropping keys, so every block shares one unified schema).
+    """
+    arrays = []
+    for field in EVENT_SCHEMA:
+        if field.name in table.column_names:
+            col = table.column(field.name)
+            if col.type != field.type:
+                col = col.cast(field.type)
+            arrays.append(col)
+        else:
+            arrays.append(pa.nulls(table.num_rows, field.type))
+    return pa.Table.from_arrays(arrays, schema=EVENT_SCHEMA)

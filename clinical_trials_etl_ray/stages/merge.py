@@ -1,0 +1,212 @@
+"""Per-bucket LWW merge (delta writer), partition-aligned read path, compaction.
+
+Write path (merge-on-read, Hudi/Iceberg-style):
+  events chunk → (prep: unify schema, add bucket) → in-batch dedupe →
+  ``groupby("bucket")`` [THE one hot-path shuffle] → per-group
+  ``write_bucket_delta``: filter stale LSNs against the broadcast watermark
+  map, re-dedupe across batches, write ONE immutable content-hash-named delta
+  parquet per (bucket, chunk), return a tiny stats row. The driver then
+  commits all stats rows atomically via the manifest (state/manifest.py).
+
+Read path: the lake is already hash-partitioned by conv_id, so final-table
+resolution needs NO shuffle — one task per bucket reads that bucket's
+base+delta files, resolves LWW winners, drops tombstones. Parallelism =
+num_buckets.
+
+Compaction folds a bucket's base+deltas into a single new base file
+(tombstones retained by default — required for correctness while future
+chunks may carry ts-older events; see ``tombstone_horizon_us``).
+
+Reference analog: S10/S11/K6 Mongo insert-or-update / LWW upsert
+(trials_extractor/storage/mongodb_storage.py:154-245) re-expressed as a
+partition-local, deterministic, exactly-once merge.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions.hashing import bucket_ids, content_hash
+from ..schema import EVENT_SCHEMA, TRANSCRIPT_SCHEMA, unify_to_event_schema
+from ..state.manifest import bucket_dir
+from .dedupe import lww_winners
+
+
+def prep_batch(batch: pa.Table, num_buckets: int, min_lsn_exclusive: int) -> pa.Table:
+    """Stateless prep: unify to canonical schema (additive evolution: shards
+    written before `tool` existed gain a null column), drop events at or below
+    the global watermark (resume/idempotent re-delivery), validate ops, and
+    add the routing ``bucket`` column."""
+    t = unify_to_event_schema(batch)
+    if min_lsn_exclusive >= 0:
+        t = t.filter(pc.greater(t["lsn"], min_lsn_exclusive))
+    if t.num_rows == 0:
+        return t.append_column("bucket", pa.array([], pa.int32()))
+    ok = pc.is_in(t["op"], value_set=pa.array(["insert", "update", "delete"]))
+    if not pc.all(ok).as_py():
+        bad = t.filter(pc.invert(ok))["op"].slice(0, 3).to_pylist()
+        raise ValueError(f"invalid op values: {bad}")
+    b = bucket_ids(t["conv_id"], num_buckets)
+    return t.append_column("bucket", pa.array(b, pa.int32()))
+
+
+_STATS_SCHEMA = pa.schema(
+    [
+        pa.field("bucket", pa.int32()),
+        pa.field("path", pa.string()),
+        pa.field("kind", pa.string()),
+        pa.field("content_hash", pa.string()),
+        pa.field("row_count", pa.int64()),
+        pa.field("min_lsn", pa.int64()),
+        pa.field("max_lsn", pa.int64()),
+    ]
+)
+
+
+def _write_immutable(table: pa.Table, directory: str, name: str) -> str:
+    """Idempotent write: tmp file + atomic rename to a content-hash name.
+
+    A retried task writing the same logical content targets the same final
+    path; os.replace makes the last writer harmless."""
+    os.makedirs(directory, exist_ok=True)
+    final = os.path.join(directory, name)
+    if not os.path.exists(final):
+        tmp = final + f".tmp.{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, final)
+    return final
+
+
+def make_bucket_merge_fn(lake_dir: str, watermarks: dict):
+    """Build the groupby('bucket').map_groups function for one chunk.
+
+    ``watermarks`` is the small per-bucket watermark dict captured by closure
+    (broadcast once in the serialized task spec — the small-side-broadcast
+    pattern, not re-shipped per batch)."""
+
+    def write_bucket_delta(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _STATS_SCHEMA.empty_table()
+        bucket = group["bucket"][0].as_py()
+        wm = watermarks.get(bucket, watermarks.get(str(bucket), -1))
+        t = group.filter(pc.greater(group["lsn"], wm))
+        if t.num_rows == 0:
+            return _STATS_SCHEMA.empty_table()
+        t = lww_winners(t).drop_columns(["bucket"])
+        h = content_hash(t)
+        path = _write_immutable(t, bucket_dir(lake_dir, bucket), f"delta-{h}.parquet")
+        rel = os.path.relpath(path, lake_dir)
+        return pa.Table.from_pydict(
+            {
+                "bucket": [bucket],
+                "path": [rel],
+                "kind": ["delta"],
+                "content_hash": [h],
+                "row_count": [t.num_rows],
+                "min_lsn": [pc.min(t["lsn"]).as_py()],
+                "max_lsn": [pc.max(t["lsn"]).as_py()],
+            },
+            schema=_STATS_SCHEMA,
+        )
+
+    return write_bucket_delta
+
+
+# ---------------------------------------------------------------------------
+# Read path / compaction (partition-aligned, shuffle-free)
+# ---------------------------------------------------------------------------
+
+
+def resolve_bucket(lake_dir: str, bucket: int, files: list) -> pa.Table:
+    """Read one bucket's base+delta files and resolve LWW winners.
+
+    Returns full event-payload rows (incl. op/lsn) — tombstones still present.
+    Schema evolution across file generations is handled by unifying every
+    file onto EVENT_SCHEMA (null-fill for files written pre-`tool`)."""
+    tables = []
+    for f in files:
+        t = pq.read_table(os.path.join(lake_dir, f["path"]))
+        tables.append(unify_to_event_schema(t))
+    if not tables:
+        return EVENT_SCHEMA.empty_table()
+    return lww_winners(pa.concat_tables(tables))
+
+
+def live_rows(resolved: pa.Table) -> pa.Table:
+    """Winners minus delete tombstones, projected to the transcript schema."""
+    t = resolved.filter(pc.not_equal(resolved["op"], "delete"))
+    return t.select(TRANSCRIPT_SCHEMA.names)
+
+
+def read_final_table(lake_dir: str, concurrency: int | None = None):
+    """Ray Dataset of the current committed lake state (transcript schema).
+
+    Shuffle-free: one `map_batches` task per bucket (the data is already
+    hash-partitioned on conv_id); each task reads only its bucket's files.
+    The tiny driver-side input is just (bucket, files) descriptors."""
+    import ray.data
+
+    from ..state.manifest import Manifest
+
+    man = Manifest.load(lake_dir)
+    items = [
+        {"bucket": b, "lake_dir": lake_dir}
+        for b in range(man.num_buckets)
+        if man.files_for_bucket(b)
+    ]
+    if not items:
+        return ray.data.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
+    files_by_bucket = {b: man.files_for_bucket(b) for b in range(man.num_buckets)}
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            resolved = resolve_bucket(row["lake_dir"], row["bucket"], files_by_bucket[row["bucket"]])
+            out.append(live_rows(resolved))
+        return pa.concat_tables(out) if out else TRANSCRIPT_SCHEMA.empty_table()
+
+    ds = ray.data.from_items(items, override_num_blocks=len(items))
+    return ds.map_batches(resolve, batch_format="pyarrow", batch_size=1)
+
+
+def compact_bucket(
+    lake_dir: str,
+    bucket: int,
+    files: list,
+    tombstone_horizon_us: int | None = None,
+) -> dict | None:
+    """Fold a bucket's files into one base file; returns new fileinfo.
+
+    Tombstones are RETAINED by default: future (higher-LSN) chunks may carry
+    events whose `ts` is older than a delete's — dropping the tombstone would
+    resurrect the key. If the producer guarantees bounded event-time disorder,
+    pass ``tombstone_horizon_us`` to drop tombstones older than
+    (max ts − horizon)."""
+    resolved = resolve_bucket(lake_dir, bucket, files)
+    if tombstone_horizon_us is not None and resolved.num_rows:
+        max_ts = pc.max(resolved["ts"]).as_py()
+        if max_ts is not None:
+            import datetime
+
+            cutoff = max_ts - datetime.timedelta(microseconds=tombstone_horizon_us)
+            keep = pc.or_(
+                pc.not_equal(resolved["op"], "delete"),
+                pc.greater_equal(resolved["ts"], pa.scalar(cutoff, pa.timestamp("us"))),
+            )
+            resolved = resolved.filter(keep)
+    if resolved.num_rows == 0:
+        return None
+    h = content_hash(resolved)
+    path = _write_immutable(resolved, bucket_dir(lake_dir, bucket), f"base-{h}.parquet")
+    return {
+        "path": os.path.relpath(path, lake_dir),
+        "kind": "base",
+        "content_hash": h,
+        "row_count": resolved.num_rows,
+        "min_lsn": pc.min(resolved["lsn"]).as_py(),
+        "max_lsn": pc.max(resolved["lsn"]).as_py(),
+    }

@@ -1,0 +1,202 @@
+"""Manifest log: atomic two-phase commit + lineage for the lake table.
+
+The lake is only ever mutated by (1) writing new immutable, content-hash-named
+parquet files under ``data/bucket=NNNNN/`` and (2) atomically publishing a new
+manifest version that references them. Readers resolve ``manifest/CURRENT`` →
+``manifest/v{N}.json`` and read exactly the referenced files, so a crash
+between file staging and commit leaves only unreferenced orphans (cleaned by
+``cleanup_orphans``); a retried merge task rewrites the same content hash to
+the same path (idempotent). This supplies the exactly-once and
+resume-from-checkpoint semantics the reference lacks entirely (SURVEY §4:
+"checkpoint/resume: none"); its only safety was keyed-upsert idempotence
+(trials_extractor/storage/mongodb_storage.py:193-195).
+
+Manifest JSON fields (FIXTURES.md §3): version, parent_version, num_buckets,
+schema_version, committed watermark per bucket, per-file lineage
+(path, content_hash, kind, row_count, lsn range) and run metrics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+MANIFEST_DIR = "manifest"
+DATA_DIR = "data"
+
+
+def bucket_dir(lake_dir: str, bucket: int) -> str:
+    return os.path.join(lake_dir, DATA_DIR, f"bucket={bucket:05d}")
+
+
+def _atomic_write(path: str, payload: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)  # atomic on POSIX
+
+
+@dataclass
+class Manifest:
+    lake_dir: str
+    version: int = 0
+    parent_version: int | None = None
+    num_buckets: int = 64
+    schema_version: int = 1
+    schema_names: list = field(default_factory=list)
+    # bucket_id(str in json) -> {"watermark_lsn": int, "files": [fileinfo...]}
+    buckets: dict = field(default_factory=dict)
+    metrics: dict = field(default_factory=dict)
+
+    # ---------- construction ----------
+
+    @classmethod
+    def create(cls, lake_dir: str, num_buckets: int) -> "Manifest":
+        os.makedirs(os.path.join(lake_dir, MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(lake_dir, DATA_DIR), exist_ok=True)
+        m = cls(lake_dir=lake_dir, version=0, num_buckets=num_buckets)
+        m._publish()
+        return m
+
+    @classmethod
+    def load(cls, lake_dir: str) -> "Manifest":
+        cur = os.path.join(lake_dir, MANIFEST_DIR, "CURRENT")
+        with open(cur) as f:
+            version = int(f.read().strip())
+        with open(os.path.join(lake_dir, MANIFEST_DIR, f"v{version:06d}.json")) as f:
+            doc = json.load(f)
+        return cls(
+            lake_dir=lake_dir,
+            version=doc["version"],
+            parent_version=doc.get("parent_version"),
+            num_buckets=doc["num_buckets"],
+            schema_version=doc.get("schema_version", 1),
+            schema_names=doc.get("schema_names", []),
+            buckets=doc.get("buckets", {}),
+            metrics=doc.get("metrics", {}),
+        )
+
+    @classmethod
+    def load_or_create(cls, lake_dir: str, num_buckets: int) -> "Manifest":
+        cur = os.path.join(lake_dir, MANIFEST_DIR, "CURRENT")
+        if os.path.exists(cur):
+            m = cls.load(lake_dir)
+            if m.num_buckets != num_buckets:
+                raise ValueError(
+                    f"lake has num_buckets={m.num_buckets}, requested {num_buckets}"
+                )
+            return m
+        return cls.create(lake_dir, num_buckets)
+
+    # ---------- queries ----------
+
+    def watermark(self, bucket: int) -> int:
+        info = self.buckets.get(str(bucket))
+        return info["watermark_lsn"] if info else -1
+
+    def global_watermark(self) -> int:
+        """LSN below-or-at which ALL buckets are durably applied."""
+        if not self.buckets and self.version == 0:
+            return -1
+        if len(self.buckets) < self.num_buckets:
+            # buckets never touched have implicit watermark from commits that
+            # advanced all buckets; we store all buckets on commit, so absence
+            # means no commit yet.
+            return min(
+                [self.watermark(b) for b in range(self.num_buckets)], default=-1
+            )
+        return min(info["watermark_lsn"] for info in self.buckets.values())
+
+    def files_for_bucket(self, bucket: int) -> list:
+        info = self.buckets.get(str(bucket))
+        return list(info["files"]) if info else []
+
+    def all_files(self) -> set:
+        out = set()
+        for info in self.buckets.values():
+            for f in info["files"]:
+                out.add(f["path"])
+        return out
+
+    def watermarks(self) -> dict:
+        """{bucket:int -> watermark_lsn} for broadcast into merge tasks."""
+        return {b: self.watermark(b) for b in range(self.num_buckets)}
+
+    # ---------- mutation (driver-side, single-threaded) ----------
+
+    def commit(
+        self,
+        new_files: list,
+        new_watermark_lsn: int,
+        schema_names: list | None = None,
+        replace_buckets: dict | None = None,
+        metrics: dict | None = None,
+    ) -> "Manifest":
+        """Publish version+1 referencing prior files + ``new_files``.
+
+        new_files: [{bucket, path, kind, content_hash, row_count, min_lsn,
+        max_lsn}]. ``new_watermark_lsn`` advances EVERY bucket (chunk commits
+        cover a total LSN range, so untouched buckets are durably
+        up-to-date for that range too). ``replace_buckets``
+        {bucket: [fileinfo...]} swaps a bucket's full file list (compaction).
+        """
+        buckets = {str(b): {"watermark_lsn": self.watermark(b), "files": self.files_for_bucket(b)}
+                   for b in range(self.num_buckets)}
+        if replace_buckets:
+            for b, files in replace_buckets.items():
+                buckets[str(b)]["files"] = files
+        for f in new_files:
+            b = str(f["bucket"])
+            info = {k: v for k, v in f.items() if k != "bucket"}
+            if all(existing["path"] != info["path"] for existing in buckets[b]["files"]):
+                buckets[b]["files"].append(info)
+        for b in buckets.values():
+            b["watermark_lsn"] = max(b["watermark_lsn"], new_watermark_lsn)
+
+        nxt = Manifest(
+            lake_dir=self.lake_dir,
+            version=self.version + 1,
+            parent_version=self.version,
+            num_buckets=self.num_buckets,
+            schema_version=self.schema_version
+            + (1 if schema_names and schema_names != self.schema_names else 0),
+            schema_names=schema_names or self.schema_names,
+            buckets=buckets,
+            metrics=metrics or {},
+        )
+        nxt._publish()
+        return nxt
+
+    def _publish(self) -> None:
+        mdir = os.path.join(self.lake_dir, MANIFEST_DIR)
+        os.makedirs(mdir, exist_ok=True)
+        doc = {
+            "version": self.version,
+            "parent_version": self.parent_version,
+            "num_buckets": self.num_buckets,
+            "schema_version": self.schema_version,
+            "schema_names": self.schema_names,
+            "buckets": self.buckets,
+            "metrics": self.metrics,
+        }
+        _atomic_write(os.path.join(mdir, f"v{self.version:06d}.json"), json.dumps(doc, indent=1))
+        _atomic_write(os.path.join(mdir, "CURRENT"), str(self.version))
+
+    # ---------- maintenance ----------
+
+    def cleanup_orphans(self) -> list:
+        """Delete staged data files not referenced by this manifest version."""
+        referenced = self.all_files()
+        removed = []
+        data_root = os.path.join(self.lake_dir, DATA_DIR)
+        for dirpath, _dirs, files in os.walk(data_root):
+            for name in files:
+                full = os.path.join(dirpath, name)
+                rel = os.path.relpath(full, self.lake_dir)
+                if rel not in referenced:
+                    os.remove(full)
+                    removed.append(rel)
+        return removed

@@ -1,0 +1,188 @@
+"""Deterministic synthetic binlog generator (seeded, vectorized).
+
+Produces the FIXTURES.md §2 ``change_events`` table: an LSN-totally-ordered
+stream of insert/update/delete events over ``(conv_id, turn_idx)`` keys, with
+knobs for hot-key (Zipf) skew, duplicate delivery, out-of-order delivery
+windows, delete rate, and mid-stream additive schema evolution (the ``tool``
+column starts appearing at ``evolution_lsn``).
+
+Everything is numpy-vectorized so bench-scale logs (1e7+ events) generate in
+seconds; no wall-clock or external data is used (seed-only determinism).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .schema import EVENT_SCHEMA
+
+_EPOCH_US = 1_700_000_000_000_000  # fixed base event-time (us since unix epoch)
+_ROLES = np.array(["user", "assistant", "system", "tool"])
+
+
+@dataclass(frozen=True)
+class BinlogSpec:
+    """All knobs for the deterministic generator (FIXTURES.md §2)."""
+
+    n_events: int = 10_000
+    n_convs: int = 200
+    max_turns: int = 32
+    seed: int = 42
+    zipf_s: float = 1.1            # hot-key skew over conv ids (1.0 => uniform-ish)
+    delete_rate: float = 0.05
+    update_rate: float = 0.25      # remainder is inserts
+    duplicate_rate: float = 0.0    # fraction of events re-delivered verbatim
+    shuffle_window: int = 0        # out-of-order delivery: local permute window
+    evolution_frac: float = 0.5    # tool column appears for lsn >= frac * n
+    text_pad: int = 0              # extra payload bytes per text value
+    ts_jitter_us: int = 120_000_000  # event-time jitter so ts order != lsn order
+
+    @property
+    def evolution_lsn(self) -> int:
+        return int(self.n_events * self.evolution_frac)
+
+
+def _zipf_conv_ids(rng: np.random.Generator, spec: BinlogSpec) -> np.ndarray:
+    """Zipf-skewed conversation index per event (vectorized ancestral sample)."""
+    ranks = np.arange(1, spec.n_convs + 1, dtype=np.float64)
+    probs = ranks ** (-spec.zipf_s)
+    probs /= probs.sum()
+    return rng.choice(spec.n_convs, size=spec.n_events, p=probs)
+
+
+def generate_events(spec: BinlogSpec) -> pa.Table:
+    """Generate the event table in *delivery order* (may be out of LSN order).
+
+    LSNs are unique and total; `ts` is correlated with lsn but jittered so the
+    LWW winner by (ts, lsn) is not simply the max-lsn event — exercising the
+    deterministic tie-break the reference lacks (SURVEY §2.9).
+    """
+    rng = np.random.default_rng(spec.seed)
+    n = spec.n_events
+
+    lsn = np.arange(n, dtype=np.int64)
+    conv = _zipf_conv_ids(rng, spec)
+    turn = rng.integers(0, spec.max_turns, size=n, dtype=np.int32)
+
+    u = rng.random(n)
+    op = np.where(
+        u < spec.delete_rate,
+        "delete",
+        np.where(u < spec.delete_rate + spec.update_rate, "update", "insert"),
+    )
+
+    role = _ROLES[lsn % 4]
+
+    # ts: increasing base + jitter => mostly ordered, with LWW-relevant inversions.
+    base = _EPOCH_US + lsn * 1_000_000
+    jitter = rng.integers(-spec.ts_jitter_us, spec.ts_jitter_us + 1, size=n)
+    ts = (base + jitter).astype("datetime64[us]")
+
+    conv_str = pc.binary_join_element_wise(
+        "c", pa.array(conv.astype("U"), type=pa.string()), ""
+    )
+    # text is a pure function of (conv, turn, lsn) so the oracle and any
+    # replay can verify per-turn equality byte-for-byte.
+    text = pc.binary_join_element_wise(
+        "t|",
+        pa.array(conv.astype("U")),
+        "|",
+        pa.array(turn.astype("U")),
+        "|",
+        pa.array(lsn.astype("U")),
+        "",
+    )
+    if spec.text_pad > 0:
+        pad = pa.array(np.full(n, "x" * spec.text_pad))
+        text = pc.binary_join_element_wise(text, pad, "|")
+
+    # deletes carry no payload
+    is_delete = pa.array(op == "delete")
+    null_str = pa.nulls(n, pa.string())
+    role_a = pc.if_else(is_delete, null_str, pa.array(role))
+    text_a = pc.if_else(is_delete, null_str, text)
+
+    # additive schema evolution: tool only for lsn >= evolution_lsn
+    has_tool = pa.array((lsn >= spec.evolution_lsn) & (lsn % 3 == 0) & (op != "delete"))
+    tool_vals = pc.binary_join_element_wise("fn_", pa.array((lsn % 7).astype("U")), "")
+    tool = pc.if_else(has_tool, tool_vals, null_str)
+
+    table = pa.Table.from_arrays(
+        [
+            pa.array(lsn),
+            pa.array(op),
+            conv_str,
+            pa.array(turn),
+            role_a,
+            text_a,
+            tool,
+            pa.array(ts, type=pa.timestamp("us")),
+        ],
+        schema=EVENT_SCHEMA,
+    )
+
+    # duplicate delivery: verbatim copies re-delivered shortly AFTER their
+    # original position (bounded displacement, as a real at-least-once
+    # transport would), so shard LSN ranges stay nearly contiguous.
+    if spec.duplicate_rate > 0:
+        k = int(n * spec.duplicate_rate)
+        if k:
+            idx = rng.choice(n, size=k, replace=True)
+            disp = rng.integers(1, max(2, spec.shuffle_window or 64), size=k)
+            pos_base = np.arange(n, dtype=np.float64)
+            pos_dup = idx + disp + 0.5
+            order = np.argsort(np.concatenate([pos_base, pos_dup]), kind="stable")
+            table = pa.concat_tables([table, table.take(pa.array(idx))]).take(
+                pa.array(order)
+            )
+
+    # out-of-order delivery: permute rows within fixed-size windows
+    if spec.shuffle_window > 1:
+        m = table.num_rows
+        order = np.arange(m)
+        w = spec.shuffle_window
+        for start in range(0, m, w):
+            seg = order[start : start + w]
+            rng.shuffle(seg)
+        table = table.take(pa.array(order))
+
+    return table
+
+
+def write_binlog_shards(
+    spec: BinlogSpec,
+    out_dir: str,
+    n_shards: int = 8,
+    drop_tool_before_evolution: bool = True,
+) -> list[str]:
+    """Write the binlog as LSN-range parquet shards under ``out_dir``.
+
+    Shard i holds the i-th contiguous slice of the delivery stream. Shards
+    delivered entirely before ``evolution_lsn`` are written WITHOUT the
+    ``tool`` column (schema v0) to exercise real additive schema evolution at
+    the read/merge boundary (SURVEY §7.4).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    table = generate_events(spec)
+    m = table.num_rows
+    paths: list[str] = []
+    bounds = np.linspace(0, m, n_shards + 1).astype(int)
+    for i in range(n_shards):
+        lo, hi = bounds[i], bounds[i + 1]
+        if hi <= lo:
+            continue
+        shard = table.slice(lo, hi - lo)
+        if drop_tool_before_evolution:
+            max_lsn = pc.max(shard["lsn"]).as_py()
+            if max_lsn is not None and max_lsn < spec.evolution_lsn:
+                shard = shard.drop_columns(["tool"])
+        path = os.path.join(out_dir, f"events-{i:05d}.parquet")
+        pq.write_table(shard, path)
+        paths.append(path)
+    return paths

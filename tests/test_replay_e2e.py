@@ -1,0 +1,157 @@
+"""End-to-end CDC replay vs the oracle: the conformance gate (SURVEY §5).
+
+Covers: full replay equality (per-turn `text` under stable (conv_id,
+turn_idx) ordering), idempotent re-run, resume after partial commit,
+duplicate + out-of-order delivery, delete semantics, additive schema
+evolution mid-stream, compaction equivalence, and parallelism invariance.
+"""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from clinical_trials_etl_ray.oracle import oracle_final_table
+from clinical_trials_etl_ray.pipelines.replay import compact, plan_chunks, replay
+from clinical_trials_etl_ray.schema import TRANSCRIPT_SCHEMA
+from clinical_trials_etl_ray.stages.merge import read_final_table
+from clinical_trials_etl_ray.synth import BinlogSpec, generate_events, write_binlog_shards
+
+SPEC = BinlogSpec(
+    n_events=20_000,
+    n_convs=300,
+    max_turns=24,
+    seed=42,
+    zipf_s=1.3,
+    delete_rate=0.06,
+    update_rate=0.3,
+    duplicate_rate=0.05,
+    shuffle_window=256,
+    evolution_frac=0.5,
+)
+# producer-guaranteed out-of-order bound in LSN units for this stream
+DISORDER = SPEC.shuffle_window
+
+
+def _final_sorted(lake_dir):
+    t = pa.concat_tables(
+        [b for b in read_final_table(lake_dir).iter_batches(batch_format="pyarrow")]
+        or [TRANSCRIPT_SCHEMA.empty_table()]
+    )
+    return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
+@pytest.fixture(scope="module")
+def binlog_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("binlog")
+    write_binlog_shards(SPEC, str(d), n_shards=16)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def oracle_table():
+    return oracle_final_table(generate_events(SPEC))
+
+
+def test_replay_matches_oracle(ray_session, binlog_dir, oracle_table, tmp_path):
+    lake = str(tmp_path / "lake")
+    report = replay(binlog_dir, lake, num_buckets=16, files_per_chunk=4,
+                    disorder_bound=DISORDER)
+    assert report.chunks_applied == 4
+    got = _final_sorted(lake)
+    assert got.num_rows == oracle_table.num_rows
+    assert got.equals(oracle_table), "final table != oracle (LWW/CDC semantics)"
+
+
+def test_replay_idempotent_rerun(ray_session, binlog_dir, oracle_table, tmp_path):
+    lake = str(tmp_path / "lake")
+    replay(binlog_dir, lake, num_buckets=16, files_per_chunk=4, disorder_bound=DISORDER)
+    report2 = replay(binlog_dir, lake, num_buckets=16, files_per_chunk=4,
+                     disorder_bound=DISORDER)
+    # all but the final chunk are pruned at the file level; the final chunk's
+    # conservative watermark (disorder bound) causes a harmless re-apply
+    assert report2.chunks_skipped >= 3
+    assert _final_sorted(lake).equals(oracle_table)
+
+
+def test_replay_strictly_ordered_skips_everything(ray_session, oracle_table, tmp_path):
+    """With an LSN-ordered log (disorder_bound=0) a re-run prunes every chunk."""
+    spec = BinlogSpec(n_events=8000, seed=21, duplicate_rate=0.0, shuffle_window=0)
+    d = tmp_path / "binlog"
+    write_binlog_shards(spec, str(d), n_shards=8)
+    lake = str(tmp_path / "lake")
+    replay(str(d), lake, num_buckets=8, files_per_chunk=2)
+    report = replay(str(d), lake, num_buckets=8, files_per_chunk=2)
+    assert report.chunks_applied == 0 and report.chunks_skipped == 4
+    assert _final_sorted(lake).equals(oracle_final_table(generate_events(spec)))
+
+
+def test_resume_from_partial_commit(ray_session, binlog_dir, oracle_table, tmp_path):
+    """Simulate a crash after the first committed chunk; resume must finish
+    and converge (watermark skip, no loss, no double-apply effects)."""
+    import os
+
+    lake = str(tmp_path / "lake")
+    paths = sorted(
+        os.path.join(binlog_dir, f) for f in os.listdir(binlog_dir) if f.endswith(".parquet")
+    )
+    chunks = plan_chunks(paths, 4, DISORDER)
+    first_chunk_paths = chunks[0][0]
+    replay(first_chunk_paths, lake, num_buckets=16, files_per_chunk=4,
+           disorder_bound=DISORDER)
+    partial = _final_sorted(lake)
+    assert 0 < partial.num_rows < oracle_table.num_rows
+    report = replay(binlog_dir, lake, num_buckets=16, files_per_chunk=4,
+                    disorder_bound=DISORDER)
+    assert report.chunks_applied >= 3
+    assert _final_sorted(lake).equals(oracle_table)
+
+
+def test_compaction_preserves_state(ray_session, binlog_dir, oracle_table, tmp_path):
+    lake = str(tmp_path / "lake")
+    replay(binlog_dir, lake, num_buckets=16, files_per_chunk=4, disorder_bound=DISORDER)
+    n = compact(lake)
+    assert n > 0
+    assert _final_sorted(lake).equals(oracle_table)
+    # after compaction each touched bucket has exactly one base file
+    from clinical_trials_etl_ray.state.manifest import Manifest
+
+    man = Manifest.load(lake)
+    for b in range(man.num_buckets):
+        files = man.files_for_bucket(b)
+        assert len(files) <= 1
+        if files:
+            assert files[0]["kind"] == "base"
+
+
+def test_ingest_after_compaction(ray_session, oracle_table, tmp_path):
+    """Compaction mid-stream must not change the final state (tombstones are
+    retained, so later ts-older events cannot resurrect deleted keys)."""
+    spec = SPEC
+    d = tmp_path / "binlog"
+    all_paths = write_binlog_shards(spec, str(d), n_shards=16)
+    lake = str(tmp_path / "lake")
+    replay(all_paths[:8], lake, num_buckets=16, files_per_chunk=4,
+           disorder_bound=DISORDER)
+    compact(lake)
+    replay(all_paths, lake, num_buckets=16, files_per_chunk=4,
+           disorder_bound=DISORDER)
+    assert _final_sorted(lake).equals(oracle_table)
+
+
+def test_parallelism_invariance_small(ray_session, binlog_dir, oracle_table, tmp_path):
+    """Different chunking/bucketing → identical final state (the §2.9 race,
+    fixed). Full cross-num_cpus invariance is evidenced by bench --scaling."""
+    lake_a = str(tmp_path / "lake_a")
+    lake_b = str(tmp_path / "lake_b")
+    replay(binlog_dir, lake_a, num_buckets=4, files_per_chunk=16, disorder_bound=DISORDER)
+    replay(binlog_dir, lake_b, num_buckets=32, files_per_chunk=2, disorder_bound=DISORDER)
+    assert _final_sorted(lake_a).equals(_final_sorted(lake_b))
+    assert _final_sorted(lake_a).equals(oracle_table)
+
+
+def test_schema_evolution_visible(ray_session, binlog_dir, tmp_path):
+    lake = str(tmp_path / "lake")
+    replay(binlog_dir, lake, num_buckets=8, files_per_chunk=4, disorder_bound=DISORDER)
+    t = _final_sorted(lake)
+    assert "tool" in t.column_names
+    assert pc.count(t["tool"], mode="only_valid").as_py() > 0
