@@ -1,16 +1,10 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+No function here (nor the library code it uses) calls ray.init/shutdown.
 """
 
 from __future__ import annotations
@@ -20,25 +14,50 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: full CDC replay (derive binlog from the sf0.001
+    events table → chunked exactly-once replay into a hash-bucketed Parquet
+    lake → shuffle-free final-table read). Returns the final transcript
+    table (pyarrow.Table)."""
+    from clinical_trials_etl_ray.pipelines.cdc_queries import run_cdc_replay
+
+    return run_cdc_replay("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from clinical_trials_etl_ray.pipelines import cdc_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    out.update(cdc_queries.QUERIES)
+    try:
+        from clinical_trials_etl_ray.pipelines import analytics
+
+        out.update(analytics.QUERIES)
+    except ImportError:
+        pass
+    try:
+        from clinical_trials_etl_ray.pipelines import textops
+
+        out.update(textops.QUERIES)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from clinical_trials_etl_ray.pipelines import cdc_queries
+
+    out: dict[str, str] = {}
+    out.update(cdc_queries.ORACLE_SQL)
+    try:
+        from clinical_trials_etl_ray.pipelines import analytics
+
+        out.update(analytics.ORACLE_SQL)
+    except ImportError:
+        pass
+    try:
+        from clinical_trials_etl_ray.pipelines import textops
+
+        out.update(textops.ORACLE_SQL)
+    except ImportError:
+        pass
+    return out

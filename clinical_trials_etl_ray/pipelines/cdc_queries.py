@@ -1,0 +1,243 @@
+"""CDC correctness-harness queries over the driver's testdata tables.
+
+The driver compares each Ray pipeline against ANSI SQL run by DuckDB on the
+same parquet views, so the CDC engine is exercised through a binlog derived
+DETERMINISTICALLY from the ``events`` table with arithmetic that both numpy
+and DuckDB compute identically (integer modular arithmetic only — no
+float rounding, no platform hashes):
+
+    lsn      = event_id
+    op       = purchase→delete, view/signup→insert, else update
+    conv_id  = 'c' || (user_id % 100)
+    turn_idx = event_id % 50
+    role     = event_id % 4 → user/assistant/system/tool
+    text     = props || ':' || event_type
+    tool     = event_type when event_id % 10 >= 7 else NULL  (evolution col)
+    ts       = ts + ((event_id * 2654435761) % 97) hours     (LWW jitter)
+
+The ts jitter makes the LWW winner by (ts, lsn) differ from the max-lsn
+event, exercising the deterministic tie-break (SURVEY §2.9). The SQL oracle
+expresses final-table replay as a window: winner per key = row_number()=1
+ordered by (ts DESC, lsn DESC); live rows are winners whose op != 'delete'.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schema import EVENT_SCHEMA
+
+_ROLE_NAMES = np.array(["user", "assistant", "system", "tool"])
+
+# ---------------------------------------------------------------------------
+# Ray side
+# ---------------------------------------------------------------------------
+
+
+def events_to_binlog(batch: pa.Table) -> pa.Table:
+    """Vectorized events→change-events derivation (map_batches, pyarrow)."""
+    eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+    uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+    et = batch.column("event_type")
+    props = batch.column("props")
+
+    is_del = pc.equal(et, "purchase")
+    is_ins = pc.is_in(et, value_set=pa.array(["view", "signup"]))
+    op = pc.if_else(is_del, "delete", pc.if_else(is_ins, "insert", "update"))
+
+    conv = pc.binary_join_element_wise("c", pa.array((uid % 100).astype("U")), "")
+    turn = pa.array((eid % 50).astype(np.int32))
+    role = pa.array(_ROLE_NAMES[eid % 4])
+    text = pc.binary_join_element_wise(props, et, ":")
+    tool = pc.if_else(pa.array(eid % 10 >= 7), et, pa.nulls(len(eid), pa.string()))
+
+    ts = batch.column("ts").to_numpy(zero_copy_only=False)
+    jitter_h = (eid * 2654435761) % 97
+    ts2 = ts + jitter_h * np.timedelta64(3_600_000_000, "us")
+
+    return pa.Table.from_arrays(
+        [
+            pa.array(eid),
+            op,
+            conv,
+            turn,
+            role,
+            text,
+            tool,
+            pa.array(ts2, type=pa.timestamp("us")),
+        ],
+        schema=EVENT_SCHEMA,
+    )
+
+
+def derived_binlog_ds(sf_dir: str):
+    """Ray Dataset of the derived binlog for a testdata dir."""
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    return ds.map_batches(events_to_binlog, batch_format="pyarrow")
+
+
+def run_cdc_replay(sf_dir: str, num_buckets: int = 16, files_per_chunk: int = 4):
+    """Full engine E2E: derive binlog → write shards → chunked replay with
+    manifest commits → shuffle-free final-table read. Returns the final
+    transcript table as a Ray Dataset."""
+    from ..pipelines.replay import replay
+    from ..stages.merge import read_final_table
+
+    work = tempfile.mkdtemp(prefix="cdc_replay_", dir="/tmp")
+    binlog_dir = os.path.join(work, "binlog")
+    lake_dir = os.path.join(work, "lake")
+    derived_binlog_ds(sf_dir).write_parquet(binlog_dir)
+    replay(binlog_dir, lake_dir, num_buckets=num_buckets, files_per_chunk=files_per_chunk)
+    final = read_final_table(lake_dir)
+    # materialize before cleaning the temp lake (result is ~#keys rows, small
+    # relative to the log; the heavy work happened in the replay above)
+    table = pa.concat_tables(
+        list(final.iter_batches(batch_format="pyarrow"))
+        or [EVENT_SCHEMA.empty_table().select(["conv_id"])]
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return table
+
+
+# ---------------------------------------------------------------------------
+# SQL side (DuckDB oracle)
+# ---------------------------------------------------------------------------
+
+BINLOG_CTE = """
+  SELECT
+    event_id AS lsn,
+    CASE WHEN event_type = 'purchase' THEN 'delete'
+         WHEN event_type IN ('view', 'signup') THEN 'insert'
+         ELSE 'update' END AS op,
+    'c' || CAST(user_id % 100 AS VARCHAR) AS conv_id,
+    CAST(event_id % 50 AS INTEGER) AS turn_idx,
+    CASE event_id % 4 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+         WHEN 2 THEN 'system' ELSE 'tool' END AS role,
+    props || ':' || event_type AS text,
+    CASE WHEN event_id % 10 >= 7 THEN event_type ELSE NULL END AS tool,
+    ts + to_hours(CAST((event_id * 2654435761) % 97 AS BIGINT)) AS ts
+  FROM events
+"""
+
+SQL_BINLOG = f"SELECT * FROM ({BINLOG_CTE})"
+
+SQL_WINNERS = f"""
+WITH binlog AS ({BINLOG_CTE}),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM binlog
+)
+SELECT lsn, op, conv_id, turn_idx, role, text, tool, ts
+FROM ranked WHERE rn = 1
+"""
+
+SQL_FINAL = f"""
+WITH binlog AS ({BINLOG_CTE}),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM binlog
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+SQL_FINAL_BY_ROLE = f"""
+WITH final AS ({SQL_FINAL})
+SELECT role, COUNT(*) AS n_turns, COUNT(tool) AS n_tool
+FROM final GROUP BY role
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries() callables
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_binlog_derive(sf_dir: str):
+    return derived_binlog_ds(sf_dir)
+
+
+def q_cdc_lww_winners(sf_dir: str):
+    """Distributed winners incl. tombstones: derive → in-batch dedupe →
+    bucket groupby → per-group LWW (associative combine, like the engine)."""
+    from ..functions.hashing import bucket_ids
+    from ..stages.dedupe import dedupe_batch, lww_winners
+
+    ds = derived_binlog_ds(sf_dir)
+    ds = ds.map_batches(dedupe_batch, batch_format="pyarrow")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", pa.array(bucket_ids(t["conv_id"], 16), pa.int32()))
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    out = ds.groupby("bucket").map_groups(
+        lambda g: lww_winners(g).drop_columns(["bucket"]), batch_format="pyarrow"
+    )
+    return out
+
+
+def q_cdc_replay_final(sf_dir: str):
+    return run_cdc_replay(sf_dir)
+
+
+def q_cdc_final_by_role(sf_dir: str):
+    """Aggregate over the engine's final table (read path + groupby)."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    table = run_cdc_replay(sf_dir)
+    ds = ray.data.from_arrow(table)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.select(["role", "tool"]).to_pandas()
+        g = df.groupby("role", as_index=False).agg(
+            n_turns=("role", "size"), n_tool=("tool", "count")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby("role").aggregate(
+        Sum("n_turns", alias_name="n_turns"), Sum("n_tool", alias_name="n_tool")
+    )
+
+    def cast_back(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.column_names.index("n_tool"),
+            "n_tool",
+            t.column("n_tool").cast(pa.int64()),
+        ).set_column(
+            t.column_names.index("n_turns"),
+            "n_turns",
+            t.column("n_turns").cast(pa.int64()),
+        )
+
+    return out.map_batches(cast_back, batch_format="pyarrow")
+
+
+QUERIES = {
+    "cdc_binlog_derive": q_cdc_binlog_derive,
+    "cdc_lww_winners": q_cdc_lww_winners,
+    "cdc_replay_final": q_cdc_replay_final,
+    "cdc_final_by_role": q_cdc_final_by_role,
+}
+
+ORACLE_SQL = {
+    "cdc_binlog_derive": SQL_BINLOG,
+    "cdc_lww_winners": SQL_WINNERS,
+    "cdc_replay_final": SQL_FINAL,
+    "cdc_final_by_role": SQL_FINAL_BY_ROLE,
+}
