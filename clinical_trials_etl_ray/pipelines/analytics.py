@@ -1,0 +1,620 @@
+"""Analytics operators (SURVEY §2.5 joins/lookups, §2.6 aggregations,
+§2.7 sorts/limits/dedup) rebuilt Ray-Data-first over the testdata tables.
+
+Each ``q_*`` mirrors a reference operator (citations inline) and has an ANSI
+SQL oracle in ORACLE_SQL with IDENTICAL output column names. Top-k queries
+always carry a unique tie-break key so the selected set is deterministic.
+
+Scale notes honored throughout: reads prune columns; per-batch functions are
+vectorized Arrow/pandas; wide aggregates pre-combine inside map_batches
+before the (small) groupby shuffle; small join sides broadcast once via
+ray.put; only genuinely small results are materialized.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.join import broadcast_join, copartition_join
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def _one_row(**cols) -> pa.Table:
+    return pa.Table.from_pydict({k: [v] for k, v in cols.items()})
+
+
+# ---------------------------------------------------------------------------
+# §2.6 aggregations
+# ---------------------------------------------------------------------------
+
+
+def q_count_lineitem(sf_dir: str):
+    """A1 global count (reference: count_documents,
+    trials_extractor/storage/mongodb_storage.py:337)."""
+    n = _read(sf_dir, "lineitem", ["l_orderkey"]).count()
+    return _one_row(n=n)
+
+
+def q_orders_by_priority(sf_dir: str):
+    """A2 group-by + count + sort desc (reference: $group/$sum/$sort phase
+    histogram, trials_extractor/storage/mongodb_storage.py:348-358)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority"])
+    out = ds.groupby("o_orderpriority").aggregate(Count(alias_name="n"))
+    return out.sort("n", descending=True)
+
+
+def q_top10_users_by_events(sf_dir: str):
+    """A3 unwind+group+count+top-10 (st_trial_analytics.py:219-230), with
+    deterministic (n desc, user_id asc) tie-break."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    out = ds.groupby("user_id").aggregate(Count(alias_name="n"))
+    return out.sort(["n", "user_id"], descending=[True, False]).limit(10)
+
+
+def q_distinct_mktsegments(sf_dir: str):
+    """A4/A6 distinct count (st_trial_analytics.py:233-243, 392-409)."""
+    vals = _read(sf_dir, "customer", ["c_mktsegment"]).unique("c_mktsegment")
+    return _one_row(n_segments=len(vals))
+
+
+def q_orders_by_month(sf_dir: str):
+    """A7 time-bucketed count (month) + sort asc
+    (st_trial_analytics.py:346-370): truncate inside map_batches, then a
+    small groupby."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "orders", ["o_orderdate"])
+
+    def to_month(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.strftime(t["o_orderdate"], format="%Y-%m")], names=["month"]
+        )
+
+    out = ds.map_batches(to_month, batch_format="pyarrow")
+    return out.groupby("month").aggregate(Count(alias_name="n")).sort("month")
+
+
+def q_pricing_summary(sf_dir: str):
+    """A10/A15 multi-agg per group with partial pre-aggregation: per-batch
+    combine (vectorized) BEFORE the groupby shuffle, so the exchange carries
+    one row per (group, batch) instead of every row — the Mongo
+    partial+final $sum analog (st_trial_analytics.py:431-454)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        df = pa.Table.from_arrays(
+            [t["l_returnflag"], t["l_linestatus"], t["l_quantity"],
+             t["l_extendedprice"], disc_price],
+            names=["l_returnflag", "l_linestatus", "qty", "base", "disc_price"],
+        ).to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"),
+            sum_base=("base", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            n=("qty", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base", alias_name="sum_base"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("n", alias_name="n"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        avg_qty = pc.divide(t["sum_qty"], pc.cast(t["n"], pa.float64()))
+        return t.append_column("avg_qty", avg_qty).set_column(
+            t.column_names.index("n"), "n", t["n"].cast(pa.int64())
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow").sort(
+        ["l_returnflag", "l_linestatus"]
+    )
+
+
+def q_value_buckets(sf_dir: str):
+    """A13 completeness-style bucketing: vectorized category column then
+    count (st_trial_analytics.py:2259-2286)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        p = t["o_totalprice"]
+        cat = pc.if_else(
+            pc.less(p, 50_000.0),
+            "low",
+            pc.if_else(pc.less(p, 150_000.0), "mid", "high"),
+        )
+        return pa.Table.from_arrays([cat], names=["bucket"])
+
+    out = ds.map_batches(bucketize, batch_format="pyarrow")
+    return out.groupby("bucket").aggregate(Count(alias_name="n")).sort("bucket")
+
+
+def q_monthly_rolling3(sf_dir: str):
+    """A14 rolling mean (window=3) over the monthly series
+    (st_trial_analytics.py:1200). The grouped series is tiny (#months), so
+    the window runs on the materialized aggregate — ordering-sensitive by
+    design."""
+    months = q_orders_by_month(sf_dir).to_pandas().sort_values("month")
+    months["rolling3"] = months["n"].rolling(3, min_periods=1).mean()
+    return months.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# §2.7 sorts / limits / pagination / distinct / dedup / union
+# ---------------------------------------------------------------------------
+
+
+def q_top20_customers_by_balance(sf_dir: str):
+    """K1 sort desc + limit k (Mongo $sort/$limit, storage:355,369-370);
+    unique key c_custkey is the tie-break."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    return ds.sort(["c_acctbal", "c_custkey"], descending=[True, False]).limit(20)
+
+
+def q_orders_page(sf_dir: str):
+    """K5 pagination: skip 100, limit 50, ordered by unique key
+    (st_trial_analytics.py:334-338)."""
+    ds = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"]
+    ).sort("o_orderkey").limit(150)
+    _, page = ds.split_at_indices([100])
+    return page
+
+
+def q_distinct_event_types(sf_dir: str):
+    """K7 distinct values (pandas .unique, st:2071)."""
+    vals = sorted(_read(sf_dir, "events", ["event_type"]).unique("event_type"))
+    return pa.Table.from_pydict({"event_type": vals})
+
+
+def q_dedup_documents_exact(sf_dir: str):
+    """K6 exact keyed dedup, the reference's only dedup (unique index on the
+    document key, trials_extractor/storage/mongodb_storage.py:87-92):
+    group by content, keep the min doc_id as the canonical survivor.
+    Pre-combines per batch before the shuffle."""
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("text", as_index=False).agg(doc_id=("doc_id", "min"))
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    out = partials.groupby("text").aggregate(Min("doc_id", alias_name="doc_id"))
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("doc_id"), "doc_id", t["doc_id"].cast(pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_union_order_halves(sf_dir: str):
+    """K8 union of per-source results (utils/batch_utils.py:44-65)."""
+    cols = ["o_orderkey", "o_totalprice"]
+    low = _read(sf_dir, "orders", cols).filter(
+        expr="o_totalprice < 100000.0"
+    )
+    high = _read(sf_dir, "orders", cols).filter(
+        expr="o_totalprice >= 100000.0"
+    )
+    return low.union(high)
+
+
+# ---------------------------------------------------------------------------
+# §2.5 joins / lookups / filter-scans
+# ---------------------------------------------------------------------------
+
+
+def q_customer_lookup(sf_dir: str):
+    """J1 point lookup by key (find_one,
+    trials_extractor/storage/mongodb_storage.py:247-265)."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t["c_custkey"], 42)), batch_format="pyarrow"
+    )
+
+
+def q_events_error_scan(sf_dir: str):
+    """J3 regex filter-scan ($regex,
+    trials_extractor/storage/mongodb_storage.py:293-322): vectorized
+    pc.match_substring_regex inside map_batches."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "props"])
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(t["event_type"], "error"),
+            pc.match_substring_regex(t["props"], '"k": 1[0-9]\\b'),
+        )
+        return t.filter(m)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_orders_filtered_page(sf_dir: str):
+    """J5 conjunctive multi-filter + pagination
+    (st_trial_analytics.py:291-344)."""
+    ds = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"]
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.equal(t["o_orderstatus"], "O"),
+                pc.greater_equal(
+                    t["o_orderdate"], pa.scalar(pd.Timestamp("1996-01-01"))
+                ),
+            ),
+            pc.greater(t["o_totalprice"], 150_000.0),
+        )
+        return t.filter(m)
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("o_orderkey").limit(25)
+
+
+def q_part_multisearch(sf_dir: str):
+    """J8 multi-column contains OR-search (st_trial_analytics.py:2120-2136)."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_brand", "p_type"])
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.or_(
+            pc.or_(
+                pc.match_substring(t["p_name"], "green"),
+                pc.match_substring(t["p_type"], "BRASS"),
+            ),
+            pc.match_substring(t["p_brand"], "#3"),
+        )
+        return t.filter(m)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_customer_nation_region(sf_dir: str):
+    """J6 broadcast join: dimension tables shipped once via ray.put
+    (reference's broadcast-dict country canonicalization,
+    trials_extractor/processors/normalizer.py:134-176)."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas()
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "n_name", "r_name"]
+    ].rename(columns={"n_nationkey": "c_nationkey"})
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    out = broadcast_join(ds, dim, on="c_nationkey")
+    return out.map_batches(
+        lambda df: df[["c_custkey", "c_name", "n_name", "r_name"]],
+        batch_format="pandas",
+    )
+
+
+def q_revenue_by_priority(sf_dir: str):
+    """J7 generalization — large-large FK join (orders ⋈ lineitem) via the
+    explicit co-partitioned hash join, then pre-aggregated revenue rollup."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    lineitem = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.Table.from_arrays([t["l_orderkey"], rev], names=["o_orderkey", "rev"])
+
+    li = lineitem.map_batches(revenue, batch_format="pyarrow")
+    joined = copartition_join(orders, li, on="o_orderkey", num_buckets=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_orderpriority", as_index=False).agg(revenue=("rev", "sum"))
+
+    partials = joined.map_batches(partial, batch_format="pandas")
+    return (
+        partials.groupby("o_orderpriority")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .sort("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 cleaners / normalizers / dates, §2.4 validators
+# ---------------------------------------------------------------------------
+
+
+def q_clean_text_documents(sf_dir: str):
+    """C1/N1 clean_text: collapse whitespace + trim, vectorized
+    (trials_extractor/processors/cleaner.py:10-35, normalizer.py:14-32)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def clean(t: pa.Table) -> pa.Table:
+        s = pc.replace_substring_regex(t["text"], pattern=r"\s+", replacement=" ")
+        s = pc.utf8_trim_whitespace(s)
+        return pa.Table.from_arrays([t["doc_id"], s], names=["doc_id", "cleaned_text"])
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def q_normalize_numbers(sf_dir: str):
+    """N2 normalize_number: digit extraction + cast
+    (trials_extractor/processors/normalizer.py:34-64) over the props JSON."""
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def f(t: pa.Table) -> pa.Table:
+        digits = pc.extract_regex(t["props"], pattern=r"(?P<k>\d+)")
+        k = pc.cast(pc.struct_field(digits, "k"), pa.int64())
+        return pa.Table.from_arrays([t["event_id"], k], names=["event_id", "k"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_normalize_list_split(sf_dir: str):
+    """N3 normalize_list: delimiter split + element count
+    (trials_extractor/processors/normalizer.py:66-85)."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def f(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["p_type"], " ")
+        n = pc.cast(pc.list_value_length(toks), pa.int64())
+        first = pc.list_element(toks, 0)
+        return pa.Table.from_arrays(
+            [t["p_partkey"], n, first], names=["p_partkey", "n_tokens", "first_token"]
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_order_dates(sf_dir: str):
+    """D3 extract_year + D4 calculate_duration + D2 boolean vocab
+    (trials_extractor/utils/date_utils.py:50-120)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderstatus"])
+    end = pa.scalar(pd.Timestamp("1998-12-31"), pa.timestamp("us"))
+
+    def f(t: pa.Table) -> pa.Table:
+        year = pc.cast(pc.year(t["o_orderdate"]), pa.int64())
+        days = pc.cast(pc.days_between(t["o_orderdate"], end), pa.int64())
+        is_open = pc.equal(t["o_orderstatus"], "O")
+        return pa.Table.from_arrays(
+            [t["o_orderkey"], year, days, is_open],
+            names=["o_orderkey", "order_year", "days_to_eoy", "is_open"],
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_null_metrics_events(sf_dir: str):
+    """V1 required-fields presence metrics: per-batch null counts reduced to
+    one row (trials_extractor/processors/validator.py:36-76 re-expressed as
+    per-partition data-quality metrics)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return _one_row(
+            null_event_type=t["event_type"].null_count,
+            null_value=t["value"].null_count,
+            null_props=t["props"].null_count,
+            rows=t.num_rows,
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(None).aggregate(
+        Sum("null_event_type", alias_name="null_event_type"),
+        Sum("null_value", alias_name="null_value"),
+        Sum("null_props", alias_name="null_props"),
+        Sum("rows", alias_name="rows"),
+    )
+    return out.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {c: t[c].cast(pa.int64()) for c in t.column_names}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_date_coherence(sf_dir: str):
+    """V2 date coherence start<=end (validator.py:78-105) + V3 cross-table
+    consistency as a semi-join: lineitems shipped before their order date."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    li = lineitem.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["l_orderkey"], t["l_shipdate"]], names=["o_orderkey", "l_shipdate"]
+        ),
+        batch_format="pyarrow",
+    )
+    joined = copartition_join(orders, li, on="o_orderkey", num_buckets=16)
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        viol = int((df["l_shipdate"] < df["o_orderdate"]).sum())
+        return pd.DataFrame({"violations": [viol], "rows": [len(df)]})
+
+    from ray.data.aggregate import Sum
+
+    partials = joined.map_batches(check, batch_format="pandas")
+    out = partials.groupby(None).aggregate(
+        Sum("violations", alias_name="violations"), Sum("rows", alias_name="rows")
+    )
+    return out.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {c: t[c].cast(pa.int64()) for c in t.column_names}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES = {
+    "count_lineitem": q_count_lineitem,
+    "orders_by_priority": q_orders_by_priority,
+    "top10_users_by_events": q_top10_users_by_events,
+    "distinct_mktsegments": q_distinct_mktsegments,
+    "orders_by_month": q_orders_by_month,
+    "pricing_summary": q_pricing_summary,
+    "value_buckets": q_value_buckets,
+    "monthly_rolling3": q_monthly_rolling3,
+    "top20_customers_by_balance": q_top20_customers_by_balance,
+    "orders_page": q_orders_page,
+    "distinct_event_types": q_distinct_event_types,
+    "dedup_documents_exact": q_dedup_documents_exact,
+    "union_order_halves": q_union_order_halves,
+    "customer_lookup": q_customer_lookup,
+    "events_error_scan": q_events_error_scan,
+    "orders_filtered_page": q_orders_filtered_page,
+    "part_multisearch": q_part_multisearch,
+    "customer_nation_region": q_customer_nation_region,
+    "revenue_by_priority": q_revenue_by_priority,
+    "clean_text_documents": q_clean_text_documents,
+    "normalize_numbers": q_normalize_numbers,
+    "normalize_list_split": q_normalize_list_split,
+    "order_dates": q_order_dates,
+    "null_metrics_events": q_null_metrics_events,
+    "date_coherence": q_date_coherence,
+}
+
+ORACLE_SQL = {
+    "count_lineitem": "SELECT COUNT(*) AS n FROM lineitem",
+    "orders_by_priority": (
+        "SELECT o_orderpriority, COUNT(*) AS n FROM orders "
+        "GROUP BY o_orderpriority ORDER BY n DESC"
+    ),
+    "top10_users_by_events": (
+        "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id "
+        "ORDER BY n DESC, user_id LIMIT 10"
+    ),
+    "distinct_mktsegments": (
+        "SELECT COUNT(DISTINCT c_mktsegment) AS n_segments FROM customer"
+    ),
+    "orders_by_month": (
+        "SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n "
+        "FROM orders GROUP BY month ORDER BY month"
+    ),
+    "pricing_summary": (
+        "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
+        "SUM(l_extendedprice) AS sum_base, "
+        "SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price, "
+        "COUNT(*) AS n, AVG(l_quantity) AS avg_qty "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY l_returnflag, l_linestatus"
+    ),
+    "value_buckets": (
+        "SELECT CASE WHEN o_totalprice < 50000 THEN 'low' "
+        "WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS bucket, "
+        "COUNT(*) AS n FROM orders GROUP BY bucket ORDER BY bucket"
+    ),
+    "monthly_rolling3": (
+        "WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month, "
+        "COUNT(*) AS n FROM orders GROUP BY month) "
+        "SELECT month, n, AVG(n) OVER (ORDER BY month "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling3 FROM m"
+    ),
+    "top20_customers_by_balance": (
+        "SELECT c_custkey, c_name, c_acctbal FROM customer "
+        "ORDER BY c_acctbal DESC, c_custkey LIMIT 20"
+    ),
+    "orders_page": (
+        "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders "
+        "ORDER BY o_orderkey LIMIT 50 OFFSET 100"
+    ),
+    "distinct_event_types": (
+        "SELECT DISTINCT event_type FROM events ORDER BY event_type"
+    ),
+    "dedup_documents_exact": (
+        "SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+    ),
+    "union_order_halves": (
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 100000 "
+        "UNION ALL "
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice >= 100000"
+    ),
+    "customer_lookup": (
+        "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey = 42"
+    ),
+    "events_error_scan": (
+        "SELECT event_id, event_type, props FROM events "
+        "WHERE event_type = 'error' AND regexp_matches(props, '\"k\": 1[0-9]\\b')"
+    ),
+    "orders_filtered_page": (
+        "SELECT o_orderkey, o_orderstatus, o_orderdate, o_totalprice FROM orders "
+        "WHERE o_orderstatus = 'O' AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_totalprice > 150000 ORDER BY o_orderkey LIMIT 25"
+    ),
+    "part_multisearch": (
+        "SELECT p_partkey, p_name, p_brand, p_type FROM part "
+        "WHERE p_name LIKE '%green%' OR p_type LIKE '%BRASS%' OR p_brand LIKE '%#3%'"
+    ),
+    "customer_nation_region": (
+        "SELECT c_custkey, c_name, n_name, r_name FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey"
+    ),
+    "revenue_by_priority": (
+        "SELECT o_orderpriority, SUM(l_extendedprice * (1 - l_discount)) AS revenue "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+    "clean_text_documents": (
+        "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS cleaned_text "
+        "FROM documents"
+    ),
+    "normalize_numbers": (
+        "SELECT event_id, CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS k "
+        "FROM events"
+    ),
+    "normalize_list_split": (
+        "SELECT p_partkey, CAST(len(string_split(p_type, ' ')) AS BIGINT) AS n_tokens, "
+        "string_split(p_type, ' ')[1] AS first_token FROM part"
+    ),
+    "order_dates": (
+        "SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS order_year, "
+        "date_diff('day', o_orderdate, TIMESTAMP '1998-12-31') AS days_to_eoy, "
+        "o_orderstatus = 'O' AS is_open FROM orders"
+    ),
+    "null_metrics_events": (
+        "SELECT COUNT(*) FILTER (event_type IS NULL) AS null_event_type, "
+        "COUNT(*) FILTER (value IS NULL) AS null_value, "
+        "COUNT(*) FILTER (props IS NULL) AS null_props, COUNT(*) AS rows "
+        "FROM events"
+    ),
+    "date_coherence": (
+        "SELECT COUNT(*) FILTER (l_shipdate < o_orderdate) AS violations, "
+        "COUNT(*) AS rows FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+    ),
+}

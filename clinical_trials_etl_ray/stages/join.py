@@ -1,0 +1,117 @@
+"""Join strategies, Ray-Data-first.
+
+The reference has no general join operator (SURVEY §2.5) — only point
+lookups, filter-scans and a broadcast-dict country canonicalization
+(trials_extractor/processors/normalizer.py:134-176) plus an implicit
+parent-child FK stamp at flatten time (trials_extractor/exporters/
+csv_exporter.py:73-248). This module supplies the general forms a lake-scale
+engine needs:
+
+- ``broadcast_join``: small side shipped ONCE (ray.put on the driver, ray.get
+  once per actor in __init__ — never re-shipped per batch), merged per batch
+  with vectorized pandas. No shuffle. Use when one side fits in worker heap.
+- ``copartition_join``: both sides large. One hash-shuffle each: tag rows
+  with side + ``bucket = hash(key) % B``, union under a unified schema,
+  ``groupby("bucket")`` and pandas-merge each co-partition. Skewed keys: pick
+  B ≫ #workers and/or salt a hot key into sub-buckets on the build side and
+  replicate the probe row per salt (documented, not automatic).
+
+Partitioning assumption: equality keys only; B chosen so one bucket of BOTH
+sides fits in a worker's heap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import bucket_ids
+
+
+def _key_buckets(table: pa.Table, keys: list, num_buckets: int) -> np.ndarray:
+    if len(keys) == 1 and pa.types.is_integer(table.schema.field(keys[0]).type):
+        v = table.column(keys[0]).to_numpy(zero_copy_only=False)
+        return ((v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)).astype(
+            np.int64
+        ) % num_buckets
+    parts = [table.column(k).cast(pa.string()).to_pandas().fillna("\0") for k in keys]
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = joined + "\x1f" + p
+    return bucket_ids(joined.to_numpy(dtype=object), num_buckets).astype(np.int64)
+
+
+def broadcast_join(ds, small_df: pd.DataFrame, on, how: str = "inner"):
+    """Join a Dataset with a small pandas table without any shuffle."""
+    import ray
+
+    ref = ray.put(small_df)
+    on_cols = [on] if isinstance(on, str) else list(on)
+
+    class BroadcastJoiner:
+        def __init__(self):
+            self.small = ray.get(ref)  # fetched once per actor
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.small, on=on_cols, how=how)
+
+    return ds.map_batches(
+        BroadcastJoiner, batch_format="pandas", concurrency=(1, 4), batch_size=65536
+    )
+
+
+def copartition_join(
+    left,
+    right,
+    on,
+    num_buckets: int = 32,
+    how: str = "inner",
+    batch_size: int = 65536,
+):
+    """Explicit partitioned hash join of two Datasets on equality keys."""
+    on_cols = [on] if isinstance(on, str) else list(on)
+
+    l_schema = left.schema().base_schema
+    r_schema = right.schema().base_schema
+    l_names = list(l_schema.names)
+    r_names = list(r_schema.names)
+    l_only = [n for n in l_names if n not in on_cols]
+    r_only = [n for n in r_names if n not in on_cols]
+    overlap = set(l_only) & set(r_only)
+    if overlap:
+        raise ValueError(f"non-key columns overlap: {sorted(overlap)}")
+
+    unified = pa.schema(
+        [l_schema.field(n) for n in l_names]
+        + [r_schema.field(n) for n in r_only]
+        + [pa.field("__side", pa.int8()), pa.field("__bucket", pa.int64())]
+    )
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            arrays = []
+            for f in unified:
+                if f.name == "__side":
+                    arrays.append(pa.array(np.full(t.num_rows, side, dtype=np.int8)))
+                elif f.name == "__bucket":
+                    arrays.append(pa.array(_key_buckets(t, on_cols, num_buckets)))
+                elif f.name in t.column_names:
+                    arrays.append(t.column(f.name).cast(f.type))
+                else:
+                    arrays.append(pa.nulls(t.num_rows, f.type))
+            return pa.Table.from_arrays(arrays, schema=unified)
+
+        return fn
+
+    tagged = left.map_batches(tag(0), batch_format="pyarrow", batch_size=batch_size).union(
+        right.map_batches(tag(1), batch_format="pyarrow", batch_size=batch_size)
+    )
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["__side"] == 0][on_cols + l_only]
+        rf = g[g["__side"] == 1][on_cols + r_only]
+        out = lf.merge(rf, on=on_cols, how=how)
+        return out
+
+    return tagged.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
