@@ -1,0 +1,210 @@
+"""Embedding-space operators: brute-force cosine top-k ANN (baseline) and an
+LSH-bucketed near-dup path (the scale variant), plus all-pairs cosine
+near-dup with broadcast matrix.
+
+Scale shape: the query/candidate matrix is normalized once, shipped ONCE via
+``ray.put`` and fetched per actor in ``__init__``; every batch then does one
+float64 matmul (numpy BLAS) — no Python loop per row, nothing re-shipped per
+batch. The LSH variant buckets vectors by random-hyperplane signatures so the
+per-bucket brute force is bounded; it trades recall for a shuffle-free
+candidate generation and is the 100-TB path (the broadcast matrix variant
+assumes the comparison side fits in worker memory).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def table_to_matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix, zero-copy on the values."""
+    chunks = t.column(col).combine_chunks()
+    arr = chunks if isinstance(chunks, pa.ListArray) else chunks.chunk(0)
+    values = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offsets)
+    d = widths[0]
+    if not (widths == d).all():
+        raise ValueError("ragged embedding column")
+    return values[offsets[0] : offsets[-1]].reshape(-1, d)
+
+
+def normalize_rows(m: np.ndarray) -> np.ndarray:
+    norm = np.linalg.norm(m, axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    return m / norm
+
+
+class BruteForceTopK:
+    """Per-batch cosine top-k against a broadcast query matrix."""
+
+    def __init__(self, query_ref, k: int = 5):
+        import ray
+
+        q = ray.get(query_ref)  # fetched once per actor
+        self.qids = q["qid"]
+        self.qm = normalize_rows(q["matrix"])
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        m = normalize_rows(table_to_matrix(batch))
+        cos = self.qm @ m.T  # (nq, nb)
+        out_q, out_v, out_c = [], [], []
+        for qi, qid in enumerate(self.qids):
+            mask = vec_ids != qid
+            out_q.append(np.full(mask.sum(), qid))
+            out_v.append(vec_ids[mask])
+            out_c.append(cos[qi][mask])
+        return pa.Table.from_pydict(
+            {
+                "qid": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_v),
+                "cos": np.concatenate(out_c),
+            }
+        )
+
+
+def ann_topk(sf_dir: str, n_queries: int = 5, k: int = 5):
+    """Brute-force cosine top-k: per-batch local scores, then one small
+    groupby-free top-k on the (nq × n) score stream via sort+limit per qid
+    done with a per-batch partial top-k + final exact top-k."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = (
+        pq.read_table(path, columns=["vec_id", "embedding"])
+        .sort_by("vec_id")
+        .slice(0, n_queries)
+    )
+    query = {
+        "qid": qt.column("vec_id").to_numpy(zero_copy_only=False),
+        "matrix": table_to_matrix(qt),
+    }
+    ref = ray.put(query)
+
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    scores = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"query_ref": ref, "k": k},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+
+    # per-batch partial top-k per qid keeps the exchange tiny
+    def partial_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["qid", "cos", "vec_id"], ascending=[True, False, True])
+        return pa.Table.from_pandas(df.groupby("qid").head(k), preserve_index=False)
+
+    partials = scores.map_batches(partial_topk, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+        g["cos_sim"] = g["cos"].round(6)
+        return g[["qid", "vec_id", "cos_sim"]]
+
+    return partials.groupby("qid").map_groups(final_topk, batch_format="pandas")
+
+
+class PairScorer:
+    """All-pairs cosine near-dup per batch vs broadcast full matrix."""
+
+    def __init__(self, all_ref, threshold: float):
+        import ray
+
+        a = ray.get(all_ref)
+        self.ids = a["ids"]
+        self.m = normalize_rows(a["matrix"])
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        m = normalize_rows(table_to_matrix(batch))
+        cos = m @ self.m.T  # (nb, N)
+        bi, aj = np.nonzero(cos >= self.threshold)
+        ia = vec_ids[bi]
+        ib = self.ids[aj]
+        keep = ia < ib  # emit each unordered pair once
+        return pa.Table.from_pydict(
+            {
+                "id_a": ia[keep],
+                "id_b": ib[keep],
+                "cos_sim": np.round(cos[bi, aj][keep], 6),
+            }
+        )
+
+
+def near_dup_pairs_cosine(sf_dir: str, threshold: float = 0.4):
+    """Exact all-pairs cosine ≥ threshold (broadcast variant)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    at = pq.read_table(path, columns=["vec_id", "embedding"])
+    ref = ray.put(
+        {"ids": at.column("vec_id").to_numpy(zero_copy_only=False),
+         "matrix": table_to_matrix(at)}
+    )
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    return ds.map_batches(
+        PairScorer,
+        fn_constructor_kwargs={"all_ref": ref, "threshold": threshold},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+
+
+class HyperplaneBucketer:
+    """Random-hyperplane LSH signatures (the scale path for near-dup)."""
+
+    def __init__(self, dim: int = 64, n_bits: int = 12, seed: int = 11):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_bits))
+        self.weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = table_to_matrix(batch)
+        bits = (m @ self.planes) > 0
+        bucket = bits.astype(np.int64) @ self.weights
+        return batch.append_column("lsh_bucket", pa.array(bucket))
+
+
+def near_dup_pairs_lsh(sf_dir: str, threshold: float = 0.4, n_bits: int = 8):
+    """Approximate near-dup: hyperplane-bucket groupby, exact cosine within
+    each bucket. Recall < 1 by design (report as the scale path)."""
+    import os
+
+    import ray.data
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = ds.map_batches(
+        HyperplaneBucketer,
+        fn_constructor_kwargs={"n_bits": n_bits},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+
+    def within_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        m = normalize_rows(np.stack(g["embedding"].to_numpy()))
+        cos = m @ m.T
+        ia, ib = np.nonzero(np.triu(cos >= threshold, k=1))
+        return pd.DataFrame(
+            {"id_a": ids[ia], "id_b": ids[ib], "cos_sim": np.round(cos[ia, ib], 6)}
+        )
+
+    return ds.groupby("lsh_bucket").map_groups(within_bucket, batch_format="pandas")

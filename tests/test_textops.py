@@ -1,0 +1,118 @@
+"""Text / dedup / similarity ops: SQL-oracle comparisons plus behavioral
+tests for the rows-only (heuristic/approximate) operators."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from clinical_trials_etl_ray.pipelines import textops as tx
+from tests.util_compare import assert_matches_oracle
+
+SF = "/root/testdata/sf0.001"
+
+SQL_BACKED = [k for k in tx.QUERIES if k in tx.ORACLE_SQL]
+ROWS_ONLY = [k for k in tx.QUERIES if k not in tx.ORACLE_SQL]
+
+
+@pytest.mark.parametrize("name", SQL_BACKED)
+def test_textops_matches_oracle(ray_session, name):
+    result = tx.QUERIES[name](SF)
+    assert_matches_oracle(result, tx.ORACLE_SQL[name], SF)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_run_and_shape(ray_session, name):
+    df = tx.QUERIES[name](SF)
+    df = df.to_pandas() if not isinstance(df, pd.DataFrame) else df
+    assert len(df) >= 0
+    assert len(df.columns) > 0
+
+
+def test_lang_id_detects_real_languages(ray_session):
+    """The heuristic must separate actual en/fr/de/es sentences."""
+    import ray.data
+
+    from clinical_trials_etl_ray.stages.text import LangId
+
+    samples = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "the cat sat on the mat and it is a fine day for the dog",
+                "le chat est dans la maison et il est pour le jardin dans un sac",
+                "der hund ist nicht mit der katze und das ist ein gutes haus auf",
+                "el perro es un animal y la casa es de madera por la noche con",
+            ],
+        }
+    )
+    out = (
+        ray.data.from_pandas(samples)
+        .map_batches(LangId, batch_format="pandas", concurrency=1)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(out["lang_pred"]) == ["en", "fr", "de", "es"]
+
+
+def test_minhash_finds_planted_near_dups(ray_session):
+    """MinHash-LSH must recover a planted 95%-overlap pair and not pair
+    unrelated docs."""
+    from clinical_trials_etl_ray.stages.dedup_text import (
+        MinHasher,
+        exact_jaccard,
+    )
+
+    rng = np.random.default_rng(0)
+    vocab = [f"w{i}" for i in range(500)]
+    base = " ".join(rng.choice(vocab, size=200))
+    near = base.rsplit(" ", 8)[0] + " zz yy xx ww vv uu tt ss"
+    other = " ".join(rng.choice(vocab, size=200))
+    assert exact_jaccard(base, near) > 0.8
+    assert exact_jaccard(base, other) < 0.2
+
+    mh = MinHasher()
+    sim_est = np.mean(mh.signature(base) == mh.signature(near))
+    dis_est = np.mean(mh.signature(base) == mh.signature(other))
+    assert sim_est > 0.7
+    assert dis_est < 0.2
+
+
+def test_simhash_hamming_behavior():
+    from clinical_trials_etl_ray.stages.dedup_text import SimHasher, hamming64
+
+    a = SimHasher.simhash("the quick brown fox jumps over the lazy dog " * 5)
+    b = SimHasher.simhash("the quick brown fox jumps over the lazy dog " * 5 + "extra")
+    c = SimHasher.simhash("completely different words entirely unrelated content here")
+    assert hamming64(a, b) < hamming64(a, c)
+    assert hamming64(a, a) == 0
+
+
+def test_near_dup_jaccard_nonempty_and_correct(ray_session):
+    """The testdata corpus contains planted near-dups; LSH must find them."""
+    pairs = tx.q_near_dup_jaccard(SF).to_pandas()
+    assert (pairs["jaccard"] >= 0.8).all()
+    assert (pairs["id_a"] < pairs["id_b"]).all()
+
+
+def test_media_decoder_plumbing(ray_session):
+    from clinical_trials_etl_ray.stages.multimodal import (
+        DeterministicFakeDecoder,
+        RealDecoder,
+        media_features_ds,
+        synth_media_table,
+    )
+
+    t = synth_media_table(30)
+    assert t.num_rows == 30
+    dec = DeterministicFakeDecoder()
+    out = dec(t)
+    assert out.column("feature").type.value_type == "float"
+    # determinism: same payload → same features
+    out2 = dec(t)
+    assert out.equals(out2)
+    with pytest.raises(NotImplementedError):
+        RealDecoder()
+    ds = media_features_ds(n=60, batch_size=16, concurrency=2)
+    feats = ds.take_all()
+    assert len(feats) == 60
+    assert all(len(r["feature"]) == 16 for r in feats)
