@@ -1,0 +1,184 @@
+"""Benchmark harness.
+
+Headline: end-to-end CDC replay (synthetic seeded binlog → chunked
+exactly-once replay into a hash-bucketed Parquet lake → final-table count)
+measured as wall-seconds; events/sec derived. Secondary: representative
+pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, "extra": {...}}
+
+--scaling: runs the plain bench twice in fresh processes at num_cpus=8 and
+num_cpus=32 on the SAME pre-generated input (page cache warmed) and prints
+both times plus scaling efficiency — the sandbox evidence for the N→4N
+cluster criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_EVENTS = int(os.environ.get("GRAFT_BENCH_EVENTS", "2000000"))
+BINLOG_CACHE = f"/tmp/graft_bench_binlog_{N_EVENTS}"
+
+
+def ensure_binlog() -> str:
+    """Deterministic bench binlog, generated once and reused (also warms the
+    page cache so scaling runs measure compute+shuffle, not first disk read)."""
+    from clinical_trials_etl_ray.synth import BinlogSpec, write_binlog_shards
+
+    marker = os.path.join(BINLOG_CACHE, "_complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(BINLOG_CACHE, ignore_errors=True)
+        spec = BinlogSpec(
+            n_events=N_EVENTS,
+            n_convs=max(1000, N_EVENTS // 100),
+            max_turns=32,
+            seed=42,
+            zipf_s=1.2,
+            delete_rate=0.05,
+            update_rate=0.25,
+            duplicate_rate=0.01,
+            shuffle_window=4096,
+            text_pad=96,
+        )
+        write_binlog_shards(spec, BINLOG_CACHE, n_shards=64)
+        open(marker, "w").write("ok")
+    else:
+        # warm page cache
+        for f in os.listdir(BINLOG_CACHE):
+            with open(os.path.join(BINLOG_CACHE, f), "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+    return BINLOG_CACHE
+
+
+def bench_cdc_replay() -> dict:
+    from clinical_trials_etl_ray.pipelines.replay import replay
+    from clinical_trials_etl_ray.stages.merge import read_final_table
+
+    binlog = ensure_binlog()
+    lake = f"/tmp/graft_bench_lake_{os.getpid()}"
+    shutil.rmtree(lake, ignore_errors=True)
+    t0 = time.perf_counter()
+    replay(
+        binlog,
+        lake,
+        num_buckets=64,
+        files_per_chunk=16,
+        disorder_bound=4096,
+    )
+    n_final = read_final_table(lake).count()
+    dt = time.perf_counter() - t0
+    shutil.rmtree(lake, ignore_errors=True)
+    return {"sec": dt, "events_per_sec": N_EVENTS / dt, "final_rows": n_final}
+
+
+def bench_queries() -> dict:
+    """Representative operator pipelines over the sf dir."""
+    from clinical_trials_etl_ray.pipelines import analytics, cdc_queries, textops
+
+    picks = {
+        "cdc_replay_final": cdc_queries.QUERIES["cdc_replay_final"],
+        "pricing_summary": analytics.QUERIES["pricing_summary"],
+        "revenue_by_priority": analytics.QUERIES["revenue_by_priority"],
+        "dedup_documents_exact": analytics.QUERIES["dedup_documents_exact"],
+        "near_dup_jaccard": textops.QUERIES["near_dup_jaccard"],
+        "ann_topk": textops.QUERIES["ann_topk"],
+        "token_counts": textops.QUERIES["token_counts"],
+    }
+    times = {}
+    for name, fn in picks.items():
+        t0 = time.perf_counter()
+        res = fn(SF_DIR)
+        # consume lazily-built datasets fully
+        if hasattr(res, "count") and not isinstance(res, (int, float)):
+            res.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def run_plain() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    headline = bench_cdc_replay()
+    queries = bench_queries()
+    ray.shutdown()
+
+    out = {
+        "metric": "cdc_replay_wall_sec",
+        "value": round(headline["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "extra": {
+            "n_events": N_EVENTS,
+            "events_per_sec": round(headline["events_per_sec"]),
+            "final_rows": headline["final_rows"],
+        },
+    }
+    return out
+
+
+def run_scaling() -> dict:
+    # generate + warm the shared input once, outside the timed runs
+    import ray
+
+    ray.init(address="local", num_cpus=8, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ensure_binlog()
+    ray.shutdown()
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    tput_lo = lo["extra"]["events_per_sec"]
+    tput_hi = hi["extra"]["events_per_sec"]
+    eff = (tput_hi / tput_lo) / (32 / 8)
+    return {
+        "metric": "cdc_replay_scaling",
+        "events_per_sec_8cpu": tput_lo,
+        "events_per_sec_32cpu": tput_hi,
+        "sec_8cpu": lo["value"],
+        "sec_32cpu": hi["value"],
+        "scaling_efficiency": round(eff, 3),
+        "n_events": N_EVENTS,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_plain()))

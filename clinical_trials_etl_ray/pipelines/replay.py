@@ -95,15 +95,27 @@ def replay(
     lake_dir: str,
     num_buckets: int = 64,
     files_per_chunk: int = 16,
-    batch_size: int = 128 * 1024,
+    batch_size: int | None = None,
     disorder_bound: int = 0,
+    merge_mode: str = "direct",
 ) -> ReplayReport:
     """Replay a binlog directory (or explicit shard list) into the lake.
+
+    merge_mode:
+      - "direct" (default): zero-shuffle ingest — every dedupe task writes
+        per-bucket winner deltas immediately (see
+        stages.merge.make_direct_delta_writer); fastest, more delta files,
+        rely on compaction cadence.
+      - "shuffle": one hash exchange consolidates each bucket's winners into
+        a single delta per chunk (groupby("bucket") — the only hot-path
+        shuffle).
 
     Idempotent and resumable: re-running after any interruption converges to
     the same committed state. Ray must already be initialized (or Ray Data
     will auto-init in standalone use); this function never calls ray.init."""
     import ray.data
+
+    from ..stages.merge import make_direct_delta_writer
 
     if isinstance(binlog, str):
         shard_paths = sorted(
@@ -125,7 +137,7 @@ def replay(
             report.chunks_skipped += 1
             continue
 
-        ds = ray.data.read_parquet(paths)
+        ds = ray.data.read_parquet(paths, override_num_blocks=len(paths))
         ds = ds.map_batches(
             prep_batch,
             batch_format="pyarrow",
@@ -133,9 +145,13 @@ def replay(
             fn_kwargs={"num_buckets": num_buckets, "min_lsn_exclusive": wm_global},
         )
         ds = ds.map_batches(dedupe_batch, batch_format="pyarrow", batch_size=batch_size)
-        merge_fn = make_bucket_merge_fn(lake_dir, man.watermarks())
-        stats_ds = ds.groupby("bucket").map_groups(merge_fn, batch_format="pyarrow")
-        stats = stats_ds.take_all()  # tiny: ≤ one row per bucket
+        if merge_mode == "direct":
+            writer = make_direct_delta_writer(lake_dir, man.watermarks())
+            stats_ds = ds.map_batches(writer, batch_format="pyarrow", batch_size=batch_size)
+        else:
+            merge_fn = make_bucket_merge_fn(lake_dir, man.watermarks())
+            stats_ds = ds.groupby("bucket").map_groups(merge_fn, batch_format="pyarrow")
+        stats = stats_ds.take_all()  # tiny: ≤ one row per (task, bucket)
 
         new_files = [
             {

@@ -15,10 +15,12 @@ import pandas as pd
 import pyarrow as pa
 
 from ..stages.dedup_text import (
+    N_COARSE_PARTITIONS,
     BandExploder,
     MinHasher,
     SimHasher,
-    candidate_pairs_from_band,
+    candidate_pairs_partition,
+    dedupe_pairs,
     exact_jaccard,
     hamming64,
     simhash_blocks,
@@ -132,12 +134,11 @@ def q_near_dup_jaccard(sf_dir: str):
         MinHasher, batch_format="pandas", concurrency=(1, 4), batch_size=2048
     )
     bands = sigs.map_batches(BandExploder, batch_format="pandas", concurrency=(1, 4))
-    cands = bands.groupby(["band_id", "band_hash"]).map_groups(
-        candidate_pairs_from_band, batch_format="pandas"
+    # ONE coarse shuffle (64 partitions); pandas groups the band buckets inside
+    cands = bands.groupby("part").map_groups(
+        candidate_pairs_partition, batch_format="pandas"
     )
-    uniq = cands.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    uniq = dedupe_pairs(cands)
 
     texts_tbl = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
@@ -174,28 +175,29 @@ def q_simhash_pairs(sf_dir: str):
     ds = _docs(sf_dir)
     sigs = ds.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 4))
     blocks = sigs.map_batches(simhash_blocks, batch_format="pandas")
+    blocks = blocks.map_batches(
+        lambda df: df.assign(part=(df["block_val"] % N_COARSE_PARTITIONS)),
+        batch_format="pandas",
+    )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id")
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy()
+    def pairs_partition(part: pd.DataFrame) -> pd.DataFrame:
         out = {"id_a": [], "id_b": [], "hamming": []}
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = hamming64(int(hs[i]), int(hs[j]))
-                if d <= 3:
-                    a, b = sorted((int(ids[i]), int(ids[j])))
-                    out["id_a"].append(a)
-                    out["id_b"].append(b)
-                    out["hamming"].append(d)
-        return pd.DataFrame(out, dtype="int64")
+        for (_bid, _bv), g in part.groupby(["block_id", "block_val"], sort=False):
+            g = g.drop_duplicates("doc_id")
+            ids = g["doc_id"].to_numpy()
+            hs = g["simhash"].to_numpy()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    d = hamming64(int(hs[i]), int(hs[j]))
+                    if d <= 3:
+                        a, b = sorted((int(ids[i]), int(ids[j])))
+                        out["id_a"].append(a)
+                        out["id_b"].append(b)
+                        out["hamming"].append(d)
+        return pd.DataFrame(out, dtype="int64").drop_duplicates(["id_a", "id_b"])
 
-    cand = blocks.groupby(["block_id", "block_val"]).map_groups(
-        pairs, batch_format="pandas"
-    )
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    cand = blocks.groupby("part").map_groups(pairs_partition, batch_format="pandas")
+    return dedupe_pairs(cand)
 
 
 def q_dedup_survivors_minhash(sf_dir: str):

@@ -116,6 +116,63 @@ def make_bucket_merge_fn(lake_dir: str, watermarks: dict):
     return write_bucket_delta
 
 
+def make_direct_delta_writer(lake_dir: str, watermarks: dict):
+    """Shuffle-FREE merge mode: each (read→prep→dedupe) task splits its
+    already-deduped batch by bucket and writes one winner-delta file per
+    (task, bucket) directly — no all-to-all exchange at all.
+
+    This is sound because the LWW winner by (ts, lsn) is associative: the
+    read path / compaction resolves across any number of per-task deltas to
+    the same global winner the shuffled merge would produce. The trade is
+    write amplification (tasks × buckets small files per chunk) for zero
+    shuffle — the Hudi-style MoR delta-log pattern; compaction (partition-
+    aligned, still shuffle-free) folds the files back down. Use
+    ``merge_mode="shuffle"`` when commits are rare and consolidated deltas
+    matter more than ingest latency."""
+    import numpy as np
+
+    def write_deltas(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _STATS_SCHEMA.empty_table()
+        b = batch.column("bucket").to_numpy(zero_copy_only=False)
+        order = np.argsort(b, kind="stable")
+        t_sorted = batch.take(pa.array(order))
+        bs = b[order]
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(np.diff(bs)) + 1, [len(bs)])
+        )
+        out = []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            bucket = int(bs[lo])
+            sub = t_sorted.slice(lo, hi - lo)
+            wm = watermarks.get(bucket, watermarks.get(str(bucket), -1))
+            sub = sub.filter(pc.greater(sub["lsn"], wm))
+            if sub.num_rows == 0:
+                continue
+            sub = sub.drop_columns(["bucket"])
+            h = content_hash(sub)
+            path = _write_immutable(
+                sub, bucket_dir(lake_dir, bucket), f"delta-{h}.parquet"
+            )
+            out.append(
+                {
+                    "bucket": bucket,
+                    "path": os.path.relpath(path, lake_dir),
+                    "kind": "delta",
+                    "content_hash": h,
+                    "row_count": sub.num_rows,
+                    "min_lsn": pc.min(sub["lsn"]).as_py(),
+                    "max_lsn": pc.max(sub["lsn"]).as_py(),
+                }
+            )
+        if not out:
+            return _STATS_SCHEMA.empty_table()
+        return pa.Table.from_pylist(out, schema=_STATS_SCHEMA)
+
+    return write_deltas
+
+
 # ---------------------------------------------------------------------------
 # Read path / compaction (partition-aligned, shuffle-free)
 # ---------------------------------------------------------------------------

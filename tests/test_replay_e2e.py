@@ -52,10 +52,11 @@ def oracle_table():
     return oracle_final_table(generate_events(SPEC))
 
 
-def test_replay_matches_oracle(ray_session, binlog_dir, oracle_table, tmp_path):
+@pytest.mark.parametrize("merge_mode", ["direct", "shuffle"])
+def test_replay_matches_oracle(ray_session, binlog_dir, oracle_table, tmp_path, merge_mode):
     lake = str(tmp_path / "lake")
     report = replay(binlog_dir, lake, num_buckets=16, files_per_chunk=4,
-                    disorder_bound=DISORDER)
+                    disorder_bound=DISORDER, merge_mode=merge_mode)
     assert report.chunks_applied == 4
     got = _final_sorted(lake)
     assert got.num_rows == oracle_table.num_rows
