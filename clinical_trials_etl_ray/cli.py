@@ -1,0 +1,174 @@
+"""CLI driver — the reference's ``main.py`` surface, Ray-Data-native.
+
+Subcommands mirror the reference pipeline stages (parse→process→store→export,
+trials_extractor/main.py:52-118) re-targeted to the CDC engine:
+
+  synth    generate a deterministic binlog (events, shards, knobs)
+  replay   ingest a binlog directory into a lake (chunked, resumable)
+  compact  fold each bucket's deltas into one base file
+  read     materialize the final table to parquet/csv/json
+  oracle   run the single-process oracle and write its final table
+  verify   replay + oracle + byte-for-byte comparison (exit 1 on mismatch)
+
+Owns its Ray session (scripts only — library code never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "ignore_reinit_error": True, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="clinical_trials_etl_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("synth")
+    sp.add_argument("out_dir")
+    sp.add_argument("--events", type=int, default=100_000)
+    sp.add_argument("--convs", type=int, default=1_000)
+    sp.add_argument("--shards", type=int, default=16)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--dup-rate", type=float, default=0.01)
+    sp.add_argument("--shuffle-window", type=int, default=1024)
+
+    rp = sub.add_parser("replay")
+    rp.add_argument("binlog_dir")
+    rp.add_argument("lake_dir")
+    rp.add_argument("--buckets", type=int, default=64)
+    rp.add_argument("--files-per-chunk", type=int, default=16)
+    rp.add_argument("--disorder-bound", type=int, default=0)
+    rp.add_argument("--merge-mode", choices=["direct", "shuffle"], default="direct")
+
+    cp = sub.add_parser("compact")
+    cp.add_argument("lake_dir")
+
+    dp = sub.add_parser("read")
+    dp.add_argument("lake_dir")
+    dp.add_argument("out_dir")
+    dp.add_argument("--format", choices=["parquet", "csv", "json"], default="parquet")
+
+    op = sub.add_parser("oracle")
+    op.add_argument("binlog_dir")
+    op.add_argument("out_path")
+
+    vp = sub.add_parser("verify")
+    vp.add_argument("binlog_dir")
+    vp.add_argument("--buckets", type=int, default=16)
+    vp.add_argument("--disorder-bound", type=int, default=0)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "synth":
+        from .synth import BinlogSpec, write_binlog_shards
+
+        spec = BinlogSpec(
+            n_events=args.events, n_convs=args.convs, seed=args.seed,
+            duplicate_rate=args.dup_rate, shuffle_window=args.shuffle_window,
+        )
+        paths = write_binlog_shards(spec, args.out_dir, n_shards=args.shards)
+        print(json.dumps({"shards": len(paths), "events": args.events}))
+        return 0
+
+    if args.cmd == "oracle":
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+        import os
+
+        from .oracle import oracle_final_table
+
+        tables = [
+            pq.read_table(os.path.join(args.binlog_dir, f))
+            for f in sorted(os.listdir(args.binlog_dir))
+            if f.endswith(".parquet")
+        ]
+        from .schema import unify_to_event_schema
+
+        events = pa.concat_tables([unify_to_event_schema(t) for t in tables])
+        out = oracle_final_table(events)
+        pq.write_table(out, args.out_path)
+        print(json.dumps({"rows": out.num_rows}))
+        return 0
+
+    _ray_init(args.num_cpus)
+    import ray
+
+    try:
+        if args.cmd == "replay":
+            from .pipelines.replay import replay
+
+            r = replay(
+                args.binlog_dir, args.lake_dir, num_buckets=args.buckets,
+                files_per_chunk=args.files_per_chunk,
+                disorder_bound=args.disorder_bound, merge_mode=args.merge_mode,
+            )
+            print(json.dumps(r.__dict__))
+        elif args.cmd == "compact":
+            from .pipelines.replay import compact
+
+            n = compact(args.lake_dir)
+            print(json.dumps({"buckets_compacted": n}))
+        elif args.cmd == "read":
+            from .sources.writers import write_csv, write_json, write_parquet
+            from .stages.merge import read_final_table
+
+            ds = read_final_table(args.lake_dir)
+            {"parquet": write_parquet, "csv": write_csv, "json": write_json}[
+                args.format
+            ](ds, args.out_dir)
+            print(json.dumps({"out": args.out_dir}))
+        elif args.cmd == "verify":
+            import tempfile
+
+            import pyarrow as pa
+
+            from .oracle import oracle_final_table
+            from .pipelines.replay import replay
+            from .schema import unify_to_event_schema
+            from .stages.merge import read_final_table
+
+            lake = tempfile.mkdtemp(prefix="verify_lake_")
+            replay(args.binlog_dir, lake, num_buckets=args.buckets,
+                   disorder_bound=args.disorder_bound)
+            got = pa.concat_tables(
+                list(read_final_table(lake).iter_batches(batch_format="pyarrow"))
+            ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+            import os
+
+            import pyarrow.parquet as pq
+
+            events = pa.concat_tables(
+                [
+                    unify_to_event_schema(pq.read_table(os.path.join(args.binlog_dir, f)))
+                    for f in sorted(os.listdir(args.binlog_dir))
+                    if f.endswith(".parquet")
+                ]
+            )
+            want = oracle_final_table(events)
+            ok = got.equals(want)
+            print(json.dumps({"rows": got.num_rows, "match": ok}))
+            return 0 if ok else 1
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
