@@ -481,8 +481,39 @@ def q_date_coherence(sf_dir: str):
     )
 
 
+def q_explode_part_tokens(sf_dir: str):
+    """E9/A11/J7 explode: unnest a derived list column, children stamped
+    with the parent key (st_trial_analytics.py:1749-1778;
+    trials_extractor/exporters/csv_exporter.py:73-248)."""
+    from ..stages.explode import explode_list_column
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def ex(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["p_type"], " ")
+        return explode_list_column(
+            t.set_column(t.column_names.index("p_type"), "p_type", toks),
+            "p_type",
+            keep=["p_partkey"],
+            value_name="token",
+        )
+
+    return ds.map_batches(ex, batch_format="pyarrow")
+
+
+def q_top_tokens(sf_dir: str):
+    """A3 unwind + group + count + top-10 over the exploded tokens."""
+    from ray.data.aggregate import Count
+
+    ds = q_explode_part_tokens(sf_dir)
+    out = ds.groupby("token").aggregate(Count(alias_name="n"))
+    return out.sort(["n", "token"], descending=[True, False]).limit(10)
+
+
 QUERIES = {
     "count_lineitem": q_count_lineitem,
+    "explode_part_tokens": q_explode_part_tokens,
+    "top_tokens": q_top_tokens,
     "orders_by_priority": q_orders_by_priority,
     "top10_users_by_events": q_top10_users_by_events,
     "distinct_mktsegments": q_distinct_mktsegments,
@@ -511,6 +542,14 @@ QUERIES = {
 
 ORACLE_SQL = {
     "count_lineitem": "SELECT COUNT(*) AS n FROM lineitem",
+    "explode_part_tokens": (
+        "SELECT p_partkey, unnest(string_split(p_type, ' ')) AS token FROM part"
+    ),
+    "top_tokens": (
+        "WITH t AS (SELECT unnest(string_split(p_type, ' ')) AS token FROM part) "
+        "SELECT token, COUNT(*) AS n FROM t GROUP BY token "
+        "ORDER BY n DESC, token LIMIT 10"
+    ),
     "orders_by_priority": (
         "SELECT o_orderpriority, COUNT(*) AS n FROM orders "
         "GROUP BY o_orderpriority ORDER BY n DESC"
