@@ -510,8 +510,165 @@ def q_top_tokens(sf_dir: str):
     return out.sort(["n", "token"], descending=[True, False]).limit(10)
 
 
+def q_priority_regex_struct(sf_dir: str):
+    """N4 normalize_age_range analog: regex → typed struct fields
+    (trials_extractor/processors/normalizer.py:87-115). Splits
+    '1-URGENT' into (prio_num int, prio_name str), vectorized via
+    pc.extract_regex."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(
+            t["o_orderpriority"], pattern=r"^(?P<num>\d+)-(?P<name>.+)$"
+        )
+        num = pc.cast(pc.struct_field(m, "num"), pa.int64())
+        name = pc.struct_field(m, "name")
+        return pa.Table.from_arrays(
+            [t["o_orderkey"], num, name],
+            names=["o_orderkey", "prio_num", "prio_name"],
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+_EVENT_VOCAB = {
+    "click": "engagement",
+    "view": "engagement",
+    "purchase": "conversion",
+    "signup": "conversion",
+    "error": "fault",
+}
+
+
+def q_canonical_event_types(sf_dir: str):
+    """N5/N6 vocab canonicalization: case-insensitive small-side dict
+    lookup broadcast into every batch (normalizer.py:117-213 — the
+    broadcast-join degenerate case, J6), then a tiny groupby."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["event_type"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        cat = df["event_type"].str.lower().map(_EVENT_VOCAB).fillna("other")
+        return pd.DataFrame({"category": cat})
+
+    out = ds.map_batches(f, batch_format="pandas")
+    return (
+        out.groupby("category")
+        .aggregate(Count(alias_name="n"))
+        .sort("category")
+    )
+
+
+def q_user_span_days(sf_dir: str):
+    """D4 calculate_duration per group (trials_extractor/utils/
+    date_utils.py:96-120): min/max event ts per user → span in days."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    agg = ds.groupby("user_id").aggregate(
+        Min("ts", alias_name="first_ts"), Max("ts", alias_name="last_ts")
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        span = pc.cast(pc.days_between(t["first_ts"], t["last_ts"]), pa.int64())
+        return pa.Table.from_arrays(
+            [t["user_id"], span], names=["user_id", "span_days"]
+        )
+
+    return agg.map_batches(f, batch_format="pyarrow")
+
+
+def q_segment_word_top20(sf_dir: str):
+    """A11 double-unwind (st_trial_analytics.py:475-535: countries × sites
+    → contact rows): documents → segments → words, each level carrying the
+    parent doc_id FK (J7), then top-20 word counts (A3)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.explode import explode_list_column
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def ex(t: pa.Table) -> pa.Table:
+        segs = pc.split_pattern(t["text"], "value")
+        lvl1 = explode_list_column(
+            t.set_column(t.column_names.index("text"), "text", segs),
+            "text",
+            keep=["doc_id"],
+            value_name="segment",
+        )
+        words = pc.split_pattern(lvl1["segment"], " ")
+        lvl2 = explode_list_column(
+            lvl1.set_column(1, "segment", words),
+            "segment",
+            keep=["doc_id"],
+            value_name="word",
+        )
+        return lvl2.filter(pc.not_equal(lvl2["word"], ""))
+
+    exploded = ds.map_batches(ex, batch_format="pyarrow")
+    out = exploded.groupby("word").aggregate(Count(alias_name="n"))
+    return out.sort(["n", "word"], descending=[True, False]).limit(20)
+
+
+def q_docs_containing_the(sf_dir: str):
+    """J2 list-contains filter (find({"locations.countries.country": c}),
+    trials_extractor/storage/mongodb_storage.py:267-291): docs whose token
+    list contains 'the', via explode + filter + distinct count."""
+    from ..stages.explode import explode_list_column
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def ex(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        lvl = explode_list_column(
+            t.set_column(t.column_names.index("text"), "text", toks),
+            "text",
+            keep=["doc_id"],
+            value_name="token",
+        )
+        hit = lvl.filter(pc.equal(lvl["token"], "the"))
+        # per-batch distinct before the global unique: shrink the exchange
+        return hit.group_by("doc_id").aggregate([])
+
+    matched = ds.map_batches(ex, batch_format="pyarrow")
+    return _one_row(n_docs=len(matched.unique("doc_id")))
+
+
+def q_autocomplete_part_names(sf_dir: str):
+    """J4 prefix autocomplete: prefix filter + projection + limit 20
+    (st_trial_analytics.py:465-473), made deterministic with a full sort
+    key before the limit."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    hits = ds.map_batches(
+        lambda t: t.filter(pc.starts_with(t["p_name"], "s")),
+        batch_format="pyarrow",
+    )
+    return hits.sort(["p_name", "p_partkey"]).limit(20)
+
+
+def q_standardize_keys(sf_dir: str):
+    """C5 standardize_keys (trials_extractor/processors/cleaner.py:127-153):
+    schema-level column-name normalization done ONCE via rename_columns,
+    not per row — drop the TPC-H prefix, lowercase."""
+    import re
+
+    ds = _read(sf_dir, "nation")
+    mapping = {
+        c: re.sub(r"^[a-z]{1,2}_", "", c.lower()) for c in ds.schema().names
+    }
+    return ds.rename_columns(mapping)
+
+
 QUERIES = {
     "count_lineitem": q_count_lineitem,
+    "priority_regex_struct": q_priority_regex_struct,
+    "canonical_event_types": q_canonical_event_types,
+    "user_span_days": q_user_span_days,
+    "segment_word_top20": q_segment_word_top20,
+    "docs_containing_the": q_docs_containing_the,
+    "autocomplete_part_names": q_autocomplete_part_names,
+    "standardize_keys": q_standardize_keys,
     "explode_part_tokens": q_explode_part_tokens,
     "top_tokens": q_top_tokens,
     "orders_by_priority": q_orders_by_priority,
@@ -655,5 +812,44 @@ ORACLE_SQL = {
     "date_coherence": (
         "SELECT COUNT(*) FILTER (l_shipdate < o_orderdate) AS violations, "
         "COUNT(*) AS rows FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+    ),
+    "priority_regex_struct": (
+        "SELECT o_orderkey, "
+        "CAST(regexp_extract(o_orderpriority, '^(\\d+)-(.+)$', 1) AS BIGINT) "
+        "AS prio_num, "
+        "regexp_extract(o_orderpriority, '^(\\d+)-(.+)$', 2) AS prio_name "
+        "FROM orders"
+    ),
+    "canonical_event_types": (
+        "SELECT CASE WHEN lower(event_type) IN ('click', 'view') "
+        "THEN 'engagement' "
+        "WHEN lower(event_type) IN ('purchase', 'signup') THEN 'conversion' "
+        "WHEN lower(event_type) = 'error' THEN 'fault' ELSE 'other' END "
+        "AS category, COUNT(*) AS n FROM events GROUP BY category "
+        "ORDER BY category"
+    ),
+    "user_span_days": (
+        "SELECT user_id, date_diff('day', MIN(ts), MAX(ts)) AS span_days "
+        "FROM events GROUP BY user_id"
+    ),
+    "segment_word_top20": (
+        "WITH s AS (SELECT doc_id, unnest(string_split(text, 'value')) "
+        "AS segment FROM documents), "
+        "w AS (SELECT doc_id, unnest(string_split(segment, ' ')) AS word "
+        "FROM s) "
+        "SELECT word, COUNT(*) AS n FROM w WHERE word <> '' "
+        "GROUP BY word ORDER BY n DESC, word LIMIT 20"
+    ),
+    "docs_containing_the": (
+        "SELECT COUNT(*) AS n_docs FROM documents "
+        "WHERE list_contains(string_split(text, ' '), 'the')"
+    ),
+    "autocomplete_part_names": (
+        "SELECT p_partkey, p_name FROM part WHERE p_name LIKE 's%' "
+        "ORDER BY p_name, p_partkey LIMIT 20"
+    ),
+    "standardize_keys": (
+        "SELECT n_nationkey AS nationkey, n_name AS name, "
+        "n_regionkey AS regionkey FROM nation"
     ),
 }
