@@ -104,18 +104,21 @@ def q_pricing_summary(sf_dir: str):
     )
 
     def partial(t: pa.Table) -> pa.Table:
-        disc_price = pc.multiply(
-            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
-        )
+        # exact fixed-point: prices/discounts have 2 decimals, so cents and
+        # 1e-4-dollar units are exact int64 — integer sums are identical at
+        # ANY parallelism / summation order (no FP drift to round away)
+        base_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc_pct = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        disc_e4 = pc.multiply(base_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        qty = pc.cast(t["l_quantity"], pa.int64())
         df = pa.Table.from_arrays(
-            [t["l_returnflag"], t["l_linestatus"], t["l_quantity"],
-             t["l_extendedprice"], disc_price],
-            names=["l_returnflag", "l_linestatus", "qty", "base", "disc_price"],
+            [t["l_returnflag"], t["l_linestatus"], qty, base_c, disc_e4],
+            names=["l_returnflag", "l_linestatus", "qty", "base_c", "disc_e4"],
         ).to_pandas()
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
             sum_qty=("qty", "sum"),
-            sum_base=("base", "sum"),
-            sum_disc_price=("disc_price", "sum"),
+            sum_base=("base_c", "sum"),
+            sum_disc_price=("disc_e4", "sum"),
             n=("qty", "size"),
         )
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -129,10 +132,27 @@ def q_pricing_summary(sf_dir: str):
     )
 
     def finalize(t: pa.Table) -> pa.Table:
-        avg_qty = pc.divide(t["sum_qty"], pc.cast(t["n"], pa.float64()))
-        return t.append_column("avg_qty", avg_qty).set_column(
+        avg_qty = pc.round(
+            pc.divide(pc.cast(t["sum_qty"], pa.float64()),
+                      pc.cast(t["n"], pa.float64())),
+            ndigits=6,
+        )
+        t = t.append_column("avg_qty", avg_qty).set_column(
             t.column_names.index("n"), "n", t["n"].cast(pa.int64())
         )
+        t = t.set_column(
+            t.column_names.index("sum_qty"), "sum_qty",
+            pc.cast(t["sum_qty"], pa.float64()),
+        )
+        t = t.set_column(
+            t.column_names.index("sum_base"), "sum_base",
+            pc.divide(pc.cast(t["sum_base"], pa.float64()), 100.0),
+        )
+        t = t.set_column(
+            t.column_names.index("sum_disc_price"), "sum_disc_price",
+            pc.divide(pc.cast(t["sum_disc_price"], pa.float64()), 10000.0),
+        )
+        return t
 
     return out.map_batches(finalize, batch_format="pyarrow").sort(
         ["l_returnflag", "l_linestatus"]
@@ -335,9 +355,10 @@ def q_revenue_by_priority(sf_dir: str):
     )
 
     def revenue(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
-        )
+        # exact int64 fixed-point (1e-4 dollars): parallelism-order-proof sums
+        base_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc_pct = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        rev = pc.multiply(base_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
         return pa.Table.from_arrays([t["l_orderkey"], rev], names=["o_orderkey", "rev"])
 
     li = lineitem.map_batches(revenue, batch_format="pyarrow")
@@ -347,10 +368,17 @@ def q_revenue_by_priority(sf_dir: str):
         return df.groupby("o_orderpriority", as_index=False).agg(revenue=("rev", "sum"))
 
     partials = joined.map_batches(partial, batch_format="pandas")
-    return (
+    out = (
         partials.groupby("o_orderpriority")
         .aggregate(Sum("revenue", alias_name="revenue"))
         .sort("o_orderpriority")
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("revenue"), "revenue",
+            pc.divide(pc.cast(t["revenue"], pa.float64()), 10000.0),
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -660,8 +688,89 @@ def q_standardize_keys(sf_dir: str):
     return ds.rename_columns(mapping)
 
 
+def q_customers_with_orders(sf_dir: str):
+    """V3 ⊆ / semi-join (validator.py:107-149's 'summary countries ⊆
+    detailed countries' generalized): customers having ≥1 order. Right side
+    is reduced to distinct keys per batch before the single hash exchange."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey"]).rename_columns(
+        {"o_custkey": "c_custkey"}
+    )
+    return copartition_join(cust, orders, on="c_custkey", how="semi")
+
+
+def q_customers_no_urgent_orders(sf_dir: str):
+    """Anti-join: customers with no URGENT order (referential-gap check —
+    the complement of the V3 consistency invariant). The build side is
+    filtered at the read, then key-distinct per batch, before the exchange."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    urgent = orders.map_batches(
+        lambda t: t.filter(
+            pc.equal(t["o_orderpriority"], "1-URGENT")
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+    ).rename_columns({"o_custkey": "c_custkey"})
+    return copartition_join(cust, urgent, on="c_custkey", how="anti")
+
+
+def q_event_type_value_agg(sf_dir: str):
+    """A10 multi-agg per group with cast ($unwind → $group {count, $sum
+    $toInt}, st_trial_analytics.py:431-454): count + sum(floor(value)) per
+    event_type, pre-aggregated inside map_batches so the exchange carries
+    one row per (batch × type)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = pc.coalesce(t["event_type"], pa.scalar("(none)"))
+        iv = pc.cast(pc.floor(t["value"]), pa.int64())
+        g = pa.Table.from_arrays([et, iv], names=["event_type", "iv"])
+        return (
+            g.group_by("event_type")
+            .aggregate([("iv", "count"), ("iv", "sum")])
+            .rename_columns(["event_type", "n_part", "sum_part"])
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = parts.groupby("event_type").aggregate(
+        Sum("n_part", alias_name="n"), Sum("sum_part", alias_name="sum_value")
+    )
+    return out.sort("event_type")
+
+
+def q_completeness_buckets(sf_dir: str):
+    """A13 completeness bucketing (st_trial_analytics.py:2259-2286: 4
+    boolean-mask category counts): classify events rows by which optional
+    fields are present, count per category."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        has_v = pc.is_valid(t["value"]).to_numpy(zero_copy_only=False)
+        has_p = pc.is_valid(t["props"]).to_numpy(zero_copy_only=False)
+        cats = np.array(["empty", "props_only", "value_only", "full"])
+        cat = cats[has_v.astype(np.int8) * 2 + has_p.astype(np.int8)]
+        g = pa.Table.from_arrays([pa.array(cat)], names=["category"])
+        return (
+            g.group_by("category")
+            .aggregate([("category", "count")])
+            .rename_columns(["category", "n_part"])
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = parts.groupby("category").aggregate(Sum("n_part", alias_name="n"))
+    return out.sort("category")
+
+
 QUERIES = {
     "count_lineitem": q_count_lineitem,
+    "customers_with_orders": q_customers_with_orders,
+    "customers_no_urgent_orders": q_customers_no_urgent_orders,
+    "event_type_value_agg": q_event_type_value_agg,
+    "completeness_buckets": q_completeness_buckets,
     "priority_regex_struct": q_priority_regex_struct,
     "canonical_event_types": q_canonical_event_types,
     "user_span_days": q_user_span_days,
@@ -723,10 +832,16 @@ ORACLE_SQL = {
         "FROM orders GROUP BY month ORDER BY month"
     ),
     "pricing_summary": (
-        "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
-        "SUM(l_extendedprice) AS sum_base, "
-        "SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price, "
-        "COUNT(*) AS n, AVG(l_quantity) AS avg_qty "
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty, "
+        "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)"
+        " / 100.0 AS sum_base, "
+        "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)"
+        " / 10000.0 AS sum_disc_price, "
+        "COUNT(*) AS n, "
+        "round(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*), 6)"
+        " AS avg_qty "
         "FROM lineitem GROUP BY l_returnflag, l_linestatus "
         "ORDER BY l_returnflag, l_linestatus"
     ),
@@ -782,7 +897,10 @@ ORACLE_SQL = {
         "JOIN region ON n_regionkey = r_regionkey"
     ),
     "revenue_by_priority": (
-        "SELECT o_orderpriority, SUM(l_extendedprice * (1 - l_discount)) AS revenue "
+        "SELECT o_orderpriority, "
+        "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)"
+        " / 10000.0 AS revenue "
         "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"
     ),
@@ -851,5 +969,25 @@ ORACLE_SQL = {
     "standardize_keys": (
         "SELECT n_nationkey AS nationkey, n_name AS name, "
         "n_regionkey AS regionkey FROM nation"
+    ),
+    "customers_with_orders": (
+        "SELECT c_custkey, c_name FROM customer "
+        "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+    ),
+    "customers_no_urgent_orders": (
+        "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN "
+        "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')"
+    ),
+    "event_type_value_agg": (
+        "SELECT COALESCE(event_type, '(none)') AS event_type, "
+        "COUNT(value) AS n, "
+        "CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_value "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    "completeness_buckets": (
+        "SELECT CASE WHEN value IS NOT NULL AND props IS NOT NULL THEN 'full' "
+        "WHEN value IS NOT NULL THEN 'value_only' "
+        "WHEN props IS NOT NULL THEN 'props_only' ELSE 'empty' END AS category, "
+        "COUNT(*) AS n FROM events GROUP BY category ORDER BY category"
     ),
 }

@@ -25,7 +25,12 @@ from ..stages.dedup_text import (
     hamming64,
     simhash_blocks,
 )
-from ..stages.embed import ann_topk, near_dup_pairs_cosine, near_dup_pairs_lsh
+from ..stages.embed import (
+    ann_topk,
+    ann_topk_ivf,
+    near_dup_pairs_cosine,
+    near_dup_pairs_lsh,
+)
 from ..stages.multimodal import media_features_ds
 from ..stages.text import Fingerprinter, LangId, QualityScorer, TokenCounter, md5_exact
 
@@ -224,6 +229,12 @@ def q_ann_topk(sf_dir: str):
     return ann_topk(sf_dir, n_queries=5, k=5)
 
 
+def q_ann_topk_ivf(sf_dir: str):
+    """Rows-only: IVF-bucketed approximate top-k (nprobe=4 of 16 lists) —
+    the scale path; exactness at nprobe=C is pinned by a unit test."""
+    return ann_topk_ivf(sf_dir, n_queries=5, k=5, n_centroids=16, nprobe=4)
+
+
 def q_near_dup_cosine(sf_dir: str):
     return near_dup_pairs_cosine(sf_dir, threshold=0.4)
 
@@ -251,6 +262,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "dedup_survivors_minhash": q_dedup_survivors_minhash,
     "ann_topk": q_ann_topk,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "near_dup_cosine": q_near_dup_cosine,
     "near_dup_cosine_lsh": q_near_dup_cosine_lsh,
     "media_features": q_media_features,

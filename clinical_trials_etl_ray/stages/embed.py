@@ -114,6 +114,109 @@ def ann_topk(sf_dir: str, n_queries: int = 5, k: int = 5):
     return partials.groupby("qid").map_groups(final_topk, batch_format="pandas")
 
 
+class IVFTopK:
+    """Per-batch IVF cosine top-k: each vector is assigned to its nearest
+    coarse centroid; a query only scores vectors whose centroid is in the
+    query's ``nprobe`` probe list. With ``nprobe == n_centroids`` this is
+    exactly the brute-force result (tested); with small ``nprobe`` it is the
+    scale path — on a cluster the assignment becomes the partition key, so a
+    probe touches only nprobe/C of the data instead of all of it."""
+
+    def __init__(self, ref):
+        import ray
+
+        q = ray.get(ref)  # one object-store fetch per actor
+        self.qids = q["qid"]
+        self.qm = normalize_rows(q["q_matrix"])
+        self.cm = normalize_rows(q["centroids"])
+        self.probe = q["probe_mask"]  # (nq, C) bool
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        m = normalize_rows(table_to_matrix(batch))
+        assign = np.argmax(self.cm @ m.T, axis=0)  # (nb,) centroid per vector
+        cos = self.qm @ m.T  # (nq, nb)
+        allowed = self.probe[:, assign]  # (nq, nb)
+        allowed &= self.qids[:, None] != vec_ids[None, :]
+        qi, bi = np.nonzero(allowed)
+        return pa.Table.from_pydict(
+            {
+                "qid": self.qids[qi],
+                "vec_id": vec_ids[bi],
+                "cos": cos[qi, bi],
+            }
+        )
+
+
+def ann_topk_ivf(
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+):
+    """IVF-bucketed approximate cosine top-k (the 100-TB scale path for S-ANN).
+
+    Centroids are a deterministic strided sample of the corpus (a k-means
+    refinement would slot in here unchanged); queries probe their ``nprobe``
+    nearest centroids. Everything small (queries, centroids, probe mask) is
+    broadcast once via ``ray.put``; the corpus streams through ``map_batches``.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    at = pq.read_table(path, columns=["vec_id", "embedding"]).sort_by("vec_id")
+    n = at.num_rows
+    stride = max(1, n // n_centroids)
+    cent_t = at.take(list(range(0, stride * n_centroids, stride))[:n_centroids])
+    centroids = table_to_matrix(cent_t)
+
+    qt = at.slice(0, n_queries)
+    qm = normalize_rows(table_to_matrix(qt))
+    cm = normalize_rows(centroids)
+    qc = qm @ cm.T  # (nq, C)
+    nprobe = min(nprobe, len(centroids))
+    probe_idx = np.argsort(-qc, axis=1)[:, :nprobe]
+    probe_mask = np.zeros((len(qm), len(cm)), dtype=bool)
+    np.put_along_axis(probe_mask, probe_idx, True, axis=1)
+
+    ref = ray.put(
+        {
+            "qid": qt.column("vec_id").to_numpy(zero_copy_only=False),
+            "q_matrix": table_to_matrix(qt),
+            "centroids": centroids,
+            "probe_mask": probe_mask,
+        }
+    )
+
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    scores = ds.map_batches(
+        IVFTopK,
+        fn_constructor_kwargs={"ref": ref},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["qid", "cos", "vec_id"], ascending=[True, False, True])
+        return pa.Table.from_pandas(df.groupby("qid").head(k), preserve_index=False)
+
+    partials = scores.map_batches(partial_topk, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+        g["cos_sim"] = g["cos"].round(6)
+        return g[["qid", "vec_id", "cos_sim"]]
+
+    return partials.groupby("qid").map_groups(final_topk, batch_format="pandas")
+
+
 class PairScorer:
     """All-pairs cosine near-dup per batch vs broadcast full matrix."""
 

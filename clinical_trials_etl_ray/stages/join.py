@@ -69,8 +69,24 @@ def copartition_join(
     how: str = "inner",
     batch_size: int = 65536,
 ):
-    """Explicit partitioned hash join of two Datasets on equality keys."""
+    """Explicit partitioned hash join of two Datasets on equality keys.
+
+    ``how`` additionally accepts ``"semi"`` / ``"anti"``: keep left rows
+    whose key does / does not appear in right (the general form of the
+    reference's V3 ⊆ cross-section check,
+    trials_extractor/processors/validator.py:107-149). For these modes the
+    right side is projected to its key columns and deduplicated per batch
+    BEFORE the exchange, so the shuffled build side is bounded by the number
+    of distinct keys, not right's row count.
+    """
     on_cols = [on] if isinstance(on, str) else list(on)
+
+    if how in ("semi", "anti"):
+        right = right.select_columns(on_cols).map_batches(
+            lambda t: t.group_by(on_cols).aggregate([]),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
 
     l_schema = left.schema().base_schema
     r_schema = right.schema().base_schema
@@ -111,6 +127,11 @@ def copartition_join(
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lf = g[g["__side"] == 0][on_cols + l_only]
         rf = g[g["__side"] == 1][on_cols + r_only]
+        if how in ("semi", "anti"):
+            keys = rf[on_cols].drop_duplicates()
+            m = lf.merge(keys, on=on_cols, how="left", indicator=True)
+            want = "both" if how == "semi" else "left_only"
+            return m[m["_merge"] == want].drop(columns="_merge")
         out = lf.merge(rf, on=on_cols, how=how)
         return out
 

@@ -116,3 +116,27 @@ def test_media_decoder_plumbing(ray_session):
     feats = ds.take_all()
     assert len(feats) == 60
     assert all(len(r["feature"]) == 16 for r in feats)
+
+
+def test_ivf_exact_when_all_lists_probed(ray_session):
+    """IVF with nprobe == n_centroids must equal brute force exactly."""
+    from clinical_trials_etl_ray.stages.embed import ann_topk, ann_topk_ivf
+    from tests.util_compare import canon, to_pandas
+
+    bf = canon(to_pandas(ann_topk(SF, n_queries=5, k=5)))
+    ivf = canon(to_pandas(ann_topk_ivf(SF, 5, 5, n_centroids=16, nprobe=16)))
+    pd.testing.assert_frame_equal(bf, ivf, check_dtype=False)
+
+
+def test_ivf_recall_at_small_nprobe(ray_session):
+    """nprobe=4/16 loses recall by design but must stay useful (≥0.5) and
+    return exactly k rows per query."""
+    from clinical_trials_etl_ray.stages.embed import ann_topk, ann_topk_ivf
+    from tests.util_compare import to_pandas
+
+    bf = to_pandas(ann_topk(SF, n_queries=5, k=5))
+    ivf = to_pandas(ann_topk_ivf(SF, 5, 5, n_centroids=16, nprobe=4))
+    assert ivf.groupby("qid").size().eq(5).all()
+    want = set(map(tuple, bf[["qid", "vec_id"]].itertuples(index=False)))
+    got = set(map(tuple, ivf[["qid", "vec_id"]].itertuples(index=False)))
+    assert len(want & got) / len(want) >= 0.5
