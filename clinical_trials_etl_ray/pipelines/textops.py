@@ -136,7 +136,7 @@ def q_near_dup_jaccard(sf_dir: str):
 
     ds = _docs(sf_dir)
     sigs = ds.map_batches(
-        MinHasher, batch_format="pandas", concurrency=(1, 4), batch_size=2048
+        MinHasher, batch_format="pandas", concurrency=(1, 12), batch_size=1024
     )
     bands = sigs.map_batches(BandExploder, batch_format="pandas", concurrency=(1, 4))
     # ONE coarse shuffle (64 partitions); pandas groups the band buckets inside

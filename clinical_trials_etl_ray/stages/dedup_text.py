@@ -38,18 +38,74 @@ def _word_ngrams(text: str, n: int) -> set:
     return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
 
 
+_NGRAM_MIX = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+     0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0xFF51AFD7ED558CCD],
+    dtype=np.uint64,
+)
+
+
+def _fmix64(h: np.ndarray) -> np.ndarray:
+    h = h.copy()
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xC4CEB9FE1A85EC53)
+    h ^= h >> np.uint64(33)
+    return h
+
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """[3,2] → [0,1,2,0,1] (vectorized per-run arange)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
 def _batch_shingle_hashes(texts, ngram: int) -> tuple:
-    """All docs' shingle-hash arrays in ONE vectorized hash call.
+    """All docs' word-n-gram shingle hashes, fully vectorized: hash every
+    word ONCE (C-speed SipHash over the flat word array), then compose
+    n-gram hashes by mixing n consecutive word hashes — no Python string
+    joins, no per-shingle sets (duplicate shingles cannot change a min, so
+    multiset semantics are safe for MinHash).
 
     Returns (hashes: uint64[total], offsets: int64[n_docs+1])."""
-    per_doc = [sorted(_word_ngrams(t or "", ngram)) for t in texts]
-    counts = np.fromiter((len(p) for p in per_doc), dtype=np.int64, count=len(per_doc))
-    offsets = np.concatenate(([0], np.cumsum(counts)))
-    flat = np.array(
-        [s for doc in per_doc for s in doc] or [""], dtype=object
+    words_per_doc = [(t or "").split() for t in texts]
+    counts = np.fromiter(
+        (len(w) for w in words_per_doc), dtype=np.int64, count=len(words_per_doc)
     )
-    hashes = pd.util.hash_array(flat, hash_key=_HASH_KEY, categorize=True)
-    return hashes[: offsets[-1]], offsets
+    w_off = np.concatenate(([0], np.cumsum(counts)))
+    flat = np.array([w for ws in words_per_doc for w in ws] or [""], dtype=object)
+    wh = pd.util.hash_array(flat, hash_key=_HASH_KEY, categorize=True)[: w_off[-1]]
+
+    # per-doc shingle counts: c>=n → c-n+1; 0<c<n → 1 (whole doc); 0 → 0
+    full = counts >= ngram
+    short = (counts > 0) & ~full
+    out_counts = np.where(full, counts - ngram + 1, 0) + short.astype(np.int64)
+    out_off = np.concatenate(([0], np.cumsum(out_counts)))
+    out = np.zeros(out_off[-1], dtype=np.uint64)
+
+    if full.any():
+        total = len(wh)
+        m = total - ngram + 1
+        acc = wh[:m] * _NGRAM_MIX[0]
+        for j in range(1, ngram):
+            acc = acc ^ (wh[j : m + j] * _NGRAM_MIX[j % len(_NGRAM_MIX)])
+        acc = _fmix64(acc)
+        sel_cnts = out_counts[full] - 0  # == counts-n+1 for full docs
+        src = np.repeat(w_off[:-1][full], sel_cnts) + _ranges(sel_cnts)
+        dst = np.repeat(out_off[:-1][full], sel_cnts) + _ranges(sel_cnts)
+        out[dst] = acc[src]
+
+    for i in np.flatnonzero(short):  # rare: docs shorter than the n-gram
+        h = np.uint64(0)
+        for v in wh[w_off[i] : w_off[i + 1]]:
+            h = h * np.uint64(0x100000001B3) ^ v
+        out[out_off[i]] = _fmix64(np.array([h], dtype=np.uint64))[0]
+
+    return out, out_off
 
 
 class MinHasher:
@@ -142,20 +198,37 @@ class BandExploder:
 def candidate_pairs_partition(group: pd.DataFrame, df_cap: int = 200) -> pd.DataFrame:
     """One coarse partition → unique candidate (id_a < id_b) pairs.
 
-    pandas-groupby over the many band buckets inside; buckets larger than
+    Fully vectorized: lexsort by (band_id, band_hash, doc_id), find bucket
+    runs, then for each distinct run length L gather all runs of that length
+    into an (R, L) matrix and emit its upper triangle in one shot — no
+    pandas groupby over the (many) tiny band buckets. Buckets larger than
     df_cap docs are dropped (hot-shingle cap — log/record at scale)."""
+    empty = pd.DataFrame(
+        {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
+    )
+    if len(group) == 0:
+        return empty
+    bid = group["band_id"].to_numpy(dtype=np.int64)
+    bh = group["band_hash"].to_numpy(dtype=np.int64)
+    did = group["doc_id"].to_numpy(dtype=np.int64)
+    order = np.lexsort((did, bh, bid))
+    bid, bh, did = bid[order], bh[order], did[order]
+    new = np.empty(len(bid), dtype=bool)
+    new[0] = True
+    new[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
+    starts = np.flatnonzero(new)
+    lengths = np.diff(np.append(starts, len(bid)))
     out_a, out_b = [], []
-    for (_bid, _bh), g in group.groupby(["band_id", "band_hash"], sort=False):
-        ids = np.unique(g["doc_id"].to_numpy())
-        if len(ids) < 2 or len(ids) > df_cap:
+    for length in np.unique(lengths):
+        if length < 2 or length > df_cap:
             continue
-        ia, ib = np.triu_indices(len(ids), k=1)
-        out_a.append(ids[ia])
-        out_b.append(ids[ib])
+        runs = starts[lengths == length]
+        mat = did[runs[:, None] + np.arange(length)[None, :]]  # (R, L)
+        ia, ib = np.triu_indices(int(length), k=1)
+        out_a.append(mat[:, ia].ravel())
+        out_b.append(mat[:, ib].ravel())
     if not out_a:
-        return pd.DataFrame(
-            {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
-        )
+        return empty
     df = pd.DataFrame(
         {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
     ).drop_duplicates()
@@ -203,16 +276,19 @@ class SimHasher:
         flat = np.array([w for ws in words_per_doc for w in ws] or [""], dtype=object)
         h = pd.util.hash_array(flat, hash_key=_HASH_KEY, categorize=True)[: offsets[-1]]
         bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-                ).astype(np.int64) * 2 - 1  # (+1/-1) per bit
+                ).astype(np.int32) * 2 - 1  # (+1/-1) per bit
         weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
-        out = np.zeros(len(texts), dtype=np.uint64)
-        for i in range(len(texts)):
-            seg = bits[offsets[i] : offsets[i + 1]]
-            if len(seg) == 0:
-                continue
-            acc = seg.sum(axis=0)
-            # disjoint bit weights: sum == bitwise OR
-            out[i] = (weights * (acc > 0)).sum(dtype=np.uint64)
+        if len(h) == 0:
+            return np.zeros(len(texts), dtype=np.int64)
+        # one reduceat over a sentinel-padded bit matrix replaces the
+        # per-doc Python loop; empty docs produce a bogus row (reduceat on
+        # an empty segment returns the next row) that the mask zeroes out
+        bits_ext = np.vstack([bits, np.zeros((1, 64), dtype=np.int32)])
+        acc = np.add.reduceat(bits_ext, offsets[:-1], axis=0)  # (n_docs, 64)
+        acc[counts == 0] = 0
+        out = ((acc > 0).astype(np.uint64) * weights[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
         return out.view(np.int64)  # two's-complement reinterpret (arrow int64)
 
     @staticmethod
