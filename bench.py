@@ -28,8 +28,9 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_EVENTS = int(os.environ.get("GRAFT_BENCH_EVENTS", "2000000"))
 # scaling runs need enough work per CPU that compute dominates the fixed
-# per-execution startup (~0.5 s serial); 8M events ≈ 128 cpu-seconds
-N_SCALING_EVENTS = int(os.environ.get("GRAFT_SCALING_EVENTS", "8000000"))
+# per-run serial overhead (~2-3 s: chunk-boundary pipeline drains, manifest
+# commits, dataset startup) — 24M events ≈ 50 s at 1 CPU keeps that under 5%
+N_SCALING_EVENTS = int(os.environ.get("GRAFT_SCALING_EVENTS", "24000000"))
 BINLOG_CACHE = f"/tmp/graft_bench_binlog_{N_EVENTS}"
 
 

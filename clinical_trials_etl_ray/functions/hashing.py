@@ -38,6 +38,30 @@ def bucket_ids(conv_ids, num_buckets: int) -> np.ndarray:
     return (hash_strings(conv_ids) % np.uint64(num_buckets)).astype(np.int32)
 
 
+def salted_bucket_ids(
+    conv_ids, turn_idx, num_buckets: int, salt_factor: int = 1
+) -> np.ndarray:
+    """Hot-key salting (SURVEY §7.2 step 5): spread ONE conversation's turns
+    over ``salt_factor`` adjacent buckets so a viral conv_id cannot pin an
+    entire partition to one worker. Deterministic per KEY — the bucket
+    depends only on (conv_id, turn_idx), so merge/compaction/read semantics
+    are unchanged (every event for a key still meets in exactly one bucket);
+    safe because the LWW winner is an associative max (stages/dedupe.py).
+    ``salt_factor=1`` degenerates to ``bucket_ids`` exactly. The factor is a
+    lake-creation-time parameter (persisted in the manifest): changing it
+    would re-route keys mid-lake.
+    """
+    if salt_factor <= 1:
+        return bucket_ids(conv_ids, num_buckets)
+    h = hash_strings(conv_ids)
+    if isinstance(turn_idx, (pa.Array, pa.ChunkedArray)):
+        turn_idx = turn_idx.to_numpy(zero_copy_only=False)
+    sub = np.asarray(turn_idx).astype(np.uint64) % np.uint64(salt_factor)
+    return (
+        (h * np.uint64(salt_factor) + sub) % np.uint64(num_buckets)
+    ).astype(np.int32)
+
+
 def content_hash(table: pa.Table) -> str:
     """Deterministic content hash of a table (for idempotent staged files).
 

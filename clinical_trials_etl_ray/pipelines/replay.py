@@ -98,6 +98,7 @@ def replay(
     batch_size: int | None = None,
     disorder_bound: int = 0,
     merge_mode: str = "direct",
+    hot_key_salt: int = 1,
 ) -> ReplayReport:
     """Replay a binlog directory (or explicit shard list) into the lake.
 
@@ -109,6 +110,10 @@ def replay(
       - "shuffle": one hash exchange consolidates each bucket's winners into
         a single delta per chunk (groupby("bucket") — the only hot-path
         shuffle).
+
+    hot_key_salt: spread each conversation's turns over this many buckets
+    (deterministic per key; fixed at lake creation, persisted in the
+    manifest) — mitigates a viral conv_id pinning one partition.
 
     Idempotent and resumable: re-running after any interruption converges to
     the same committed state. Ray must already be initialized (or Ray Data
@@ -126,7 +131,7 @@ def replay(
     else:
         shard_paths = list(binlog)
 
-    man = Manifest.load_or_create(lake_dir, num_buckets)
+    man = Manifest.load_or_create(lake_dir, num_buckets, salt_factor=hot_key_salt)
     report = ReplayReport()
     chunks = plan_chunks(shard_paths, files_per_chunk, disorder_bound)
     report.chunks_total = len(chunks)
@@ -137,12 +142,25 @@ def replay(
             report.chunks_skipped += 1
             continue
 
-        ds = ray.data.read_parquet(paths, override_num_blocks=len(paths))
+        # Block count bounds BOTH parallelism and delta-file count (direct
+        # mode writes one file per task × touched bucket): scale blocks with
+        # available CPUs instead of shard count, so a small cluster writes
+        # fewer, larger deltas (less file-open overhead at read/compact time)
+        # while a big one keeps full parallelism.
+        import ray as _ray
+
+        ncpu = int(_ray.cluster_resources().get("CPU", 32))
+        nblocks = max(len(paths) // 4, min(len(paths), 2 * ncpu), 1)
+        ds = ray.data.read_parquet(paths, override_num_blocks=nblocks)
         ds = ds.map_batches(
             prep_batch,
             batch_format="pyarrow",
             batch_size=batch_size,
-            fn_kwargs={"num_buckets": num_buckets, "min_lsn_exclusive": wm_global},
+            fn_kwargs={
+                "num_buckets": num_buckets,
+                "min_lsn_exclusive": wm_global,
+                "salt_factor": man.salt_factor,
+            },
         )
         ds = ds.map_batches(dedupe_batch, batch_format="pyarrow", batch_size=batch_size)
         if merge_mode == "direct":

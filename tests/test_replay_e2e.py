@@ -156,3 +156,48 @@ def test_schema_evolution_visible(ray_session, binlog_dir, tmp_path):
     t = _final_sorted(lake)
     assert "tool" in t.column_names
     assert pc.count(t["tool"], mode="only_valid").as_py() > 0
+
+
+@pytest.mark.parametrize("merge_mode", ["direct", "shuffle"])
+def test_replay_hot_key_salted_matches_oracle(
+    ray_session, binlog_dir, oracle_table, tmp_path, merge_mode
+):
+    """Salting spreads a conversation's turns across buckets without
+    changing the final table (winner max is associative; bucket is a pure
+    function of the key)."""
+    lake = str(tmp_path / "lake_salted")
+    replay(binlog_dir, lake, num_buckets=16, files_per_chunk=4,
+           disorder_bound=DISORDER, merge_mode=merge_mode, hot_key_salt=4)
+    assert _final_sorted(lake).equals(oracle_table)
+
+
+def test_salt_factor_pinned_in_manifest(ray_session, binlog_dir, tmp_path):
+    lake = str(tmp_path / "lake_pin")
+    replay(binlog_dir, lake, num_buckets=16, files_per_chunk=16,
+           disorder_bound=DISORDER, hot_key_salt=2)
+    with pytest.raises(ValueError, match="salt_factor"):
+        replay(binlog_dir, lake, num_buckets=16, files_per_chunk=16,
+               disorder_bound=DISORDER, hot_key_salt=8)
+
+
+def test_salted_bucket_ids_properties():
+    import numpy as np
+
+    from clinical_trials_etl_ray.functions.hashing import (
+        bucket_ids,
+        salted_bucket_ids,
+    )
+
+    convs = np.array([f"c{i%7}" for i in range(200)], dtype=object)
+    turns = np.arange(200) % 24
+    # salt=1 degenerates to the unsalted mapping
+    assert (salted_bucket_ids(convs, turns, 16, 1) == bucket_ids(convs, 16)).all()
+    # deterministic per key
+    b1 = salted_bucket_ids(convs, turns, 16, 4)
+    b2 = salted_bucket_ids(convs, turns, 16, 4)
+    assert (b1 == b2).all()
+    assert ((b1 >= 0) & (b1 < 16)).all()
+    # a single hot conv is spread over exactly salt_factor buckets
+    hot = np.array(["viral"] * 100, dtype=object)
+    bh = salted_bucket_ids(hot, np.arange(100), 16, 4)
+    assert len(np.unique(bh)) == 4
