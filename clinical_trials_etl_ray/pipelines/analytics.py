@@ -765,8 +765,34 @@ def q_completeness_buckets(sf_dir: str):
     return out.sort("category")
 
 
+SESSION_GAP_S = 1800
+
+
+def q_user_sessions(sf_dir: str):
+    """Gap-based sessionization (training-data pipeline staple; the windowed
+    generalization of A14's ordering-sensitive ops): per user, events sorted
+    by time split into sessions at gaps > 30 min. One hash shuffle on
+    user_id; the per-group kernel is vectorized numpy (sort + diff), not a
+    Python loop over events."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        gaps = np.diff(ts) > SESSION_GAP_S * 1_000_000
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(ts)],
+                "n_sessions": [1 + int(gaps.sum())],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
 QUERIES = {
     "count_lineitem": q_count_lineitem,
+    "user_sessions": q_user_sessions,
     "customers_with_orders": q_customers_with_orders,
     "customers_no_urgent_orders": q_customers_no_urgent_orders,
     "event_type_value_agg": q_event_type_value_agg,
@@ -969,6 +995,14 @@ ORACLE_SQL = {
     "standardize_keys": (
         "SELECT n_nationkey AS nationkey, n_name AS name, "
         "n_regionkey AS regionkey FROM nation"
+    ),
+    "user_sessions": (
+        "WITH d AS (SELECT user_id, ts, "
+        "date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)"
+        " AS gap_s FROM events) "
+        "SELECT user_id, COUNT(*) AS n_events, "
+        "CAST(1 + COUNT(*) FILTER (gap_s > 1800) AS BIGINT) AS n_sessions "
+        "FROM d GROUP BY user_id"
     ),
     "customers_with_orders": (
         "SELECT c_custkey, c_name FROM customer "

@@ -186,32 +186,46 @@ def make_direct_delta_writer(lake_dir: str, watermarks: dict):
 # ---------------------------------------------------------------------------
 
 
-def resolve_bucket(lake_dir: str, bucket: int, files: list) -> pa.Table:
+def resolve_bucket(
+    lake_dir: str, bucket: int, files: list, as_of_lsn: int | None = None
+) -> pa.Table:
     """Read one bucket's base+delta files and resolve LWW winners.
 
     Returns full event-payload rows (incl. op/lsn) — tombstones still present.
     Schema evolution across file generations is handled by unifying every
     file onto EVENT_SCHEMA (null-fill for files written pre-`tool`).
 
+    ``as_of_lsn`` gives time travel: files are pruned by their manifest
+    ``min_lsn`` (no read) and rows filtered to ``lsn <= as_of_lsn`` before
+    LWW. EXACT when the cut cleanly separates delivered batches — for an
+    LSN-ordered log (disorder 0), any chunk watermark qualifies. With
+    out-of-order delivery it is best-effort near chunk tails: ingest writes
+    winner deltas, so a row at or below the cut that was superseded (by
+    LWW on (ts, lsn)) within the same batch by a row above the cut is
+    already collapsed — the same trade as compaction, at batch granularity.
+    For exact snapshots of any committed state use
+    ``read_final_table(version=...)``.
+
     Direct-mode ingest leaves MANY small delta files per bucket between
     compactions; reads are fanned over a thread pool (Arrow's parquet decode
     releases the GIL) so per-file open/decode latency overlaps instead of
     serializing — ~3x faster final-table reads on a fresh (uncompacted)
     lake."""
+    if as_of_lsn is not None:
+        files = [f for f in files if f.get("min_lsn", 0) <= as_of_lsn]
     if not files:
         return EVENT_SCHEMA.empty_table()
+
+    def _read(f):
+        t = unify_to_event_schema(pq.read_table(os.path.join(lake_dir, f["path"])))
+        if as_of_lsn is not None and f.get("max_lsn", as_of_lsn) > as_of_lsn:
+            t = t.filter(pc.less_equal(t["lsn"], as_of_lsn))
+        return t
+
     if len(files) <= 2:
-        tables = [
-            unify_to_event_schema(pq.read_table(os.path.join(lake_dir, f["path"])))
-            for f in files
-        ]
+        tables = [_read(f) for f in files]
     else:
         from concurrent.futures import ThreadPoolExecutor
-
-        def _read(f):
-            return unify_to_event_schema(
-                pq.read_table(os.path.join(lake_dir, f["path"]))
-            )
 
         with ThreadPoolExecutor(max_workers=min(8, len(files))) as ex:
             tables = list(ex.map(_read, files))
@@ -224,17 +238,29 @@ def live_rows(resolved: pa.Table) -> pa.Table:
     return t.select(TRANSCRIPT_SCHEMA.names)
 
 
-def read_final_table(lake_dir: str, concurrency: int | None = None):
-    """Ray Dataset of the current committed lake state (transcript schema).
+def read_final_table(
+    lake_dir: str,
+    concurrency: int | None = None,
+    as_of_lsn: int | None = None,
+    version: int | None = None,
+):
+    """Ray Dataset of the committed lake state (transcript schema).
 
     Shuffle-free: one `map_batches` task per bucket (the data is already
     hash-partitioned on conv_id); each task reads only its bucket's files.
-    The tiny driver-side input is just (bucket, files) descriptors."""
+    The tiny driver-side input is just (bucket, files) descriptors.
+
+    Time travel: ``version`` reads an older manifest snapshot (exact as long
+    as its files haven't been cleaned); ``as_of_lsn`` reconstructs the state
+    as of an LSN (exact at committed chunk watermarks — see
+    ``resolve_bucket``). The two compose."""
     import ray.data
 
     from ..state.manifest import Manifest
 
-    man = Manifest.load(lake_dir)
+    man = Manifest.load(lake_dir) if version is None else Manifest.load_version(
+        lake_dir, version
+    )
     items = [
         {"bucket": b, "lake_dir": lake_dir}
         for b in range(man.num_buckets)
@@ -247,7 +273,12 @@ def read_final_table(lake_dir: str, concurrency: int | None = None):
     def resolve(batch: pa.Table) -> pa.Table:
         out = []
         for row in batch.to_pylist():
-            resolved = resolve_bucket(row["lake_dir"], row["bucket"], files_by_bucket[row["bucket"]])
+            resolved = resolve_bucket(
+                row["lake_dir"],
+                row["bucket"],
+                files_by_bucket[row["bucket"]],
+                as_of_lsn=as_of_lsn,
+            )
             out.append(live_rows(resolved))
         return pa.concat_tables(out) if out else TRANSCRIPT_SCHEMA.empty_table()
 

@@ -89,6 +89,26 @@ class Manifest:
         )
 
     @classmethod
+    def load_version(cls, lake_dir: str, version: int) -> "Manifest":
+        """Load a specific (older) manifest snapshot — time travel by
+        version. Exact as long as the snapshot's files have not been removed
+        by a later ``cleanup_orphans``/compaction cleanup."""
+        path = os.path.join(lake_dir, MANIFEST_DIR, f"v{version:06d}.json")
+        with open(path) as f:
+            doc = json.load(f)
+        return cls(
+            lake_dir=lake_dir,
+            version=doc["version"],
+            parent_version=doc.get("parent_version"),
+            num_buckets=doc["num_buckets"],
+            salt_factor=doc.get("salt_factor", 1),
+            schema_version=doc.get("schema_version", 1),
+            schema_names=doc.get("schema_names", []),
+            buckets=doc.get("buckets", {}),
+            metrics=doc.get("metrics", {}),
+        )
+
+    @classmethod
     def load_or_create(
         cls, lake_dir: str, num_buckets: int, salt_factor: int = 1
     ) -> "Manifest":

@@ -201,3 +201,68 @@ def test_salted_bucket_ids_properties():
     hot = np.array(["viral"] * 100, dtype=object)
     bh = salted_bucket_ids(hot, np.arange(100), 16, 4)
     assert len(np.unique(bh)) == 4
+
+
+def test_time_travel_as_of_lsn(ray_session, tmp_path):
+    """as_of_lsn at chunk watermarks reconstructs the exact state for an
+    LSN-ordered log (uncompacted lake). LWW still differs from max-lsn
+    (ts jitter), so this exercises real winner resolution at each cut."""
+    import os
+
+    spec = BinlogSpec(
+        n_events=20_000, n_convs=300, max_turns=24, seed=43, zipf_s=1.3,
+        delete_rate=0.06, update_rate=0.3, duplicate_rate=0.0,
+        shuffle_window=0, evolution_frac=0.5,
+    )
+    binlog = str(tmp_path / "binlog_ordered")
+    write_binlog_shards(spec, binlog, n_shards=16)
+    lake = str(tmp_path / "lake_tt")
+    replay(binlog, lake, num_buckets=16, files_per_chunk=4)
+    events = generate_events(spec)
+    paths = sorted(
+        os.path.join(binlog, f)
+        for f in os.listdir(binlog)
+        if f.endswith(".parquet")
+    )
+    watermarks = [wm for _, wm, _ in plan_chunks(paths, 4)]
+    for x in watermarks:
+        want = oracle_final_table(
+            events.filter(pc.less_equal(events["lsn"], x))
+        )
+        got = pa.concat_tables(
+            [b for b in read_final_table(lake, as_of_lsn=x).iter_batches(
+                batch_format="pyarrow")]
+            or [TRANSCRIPT_SCHEMA.empty_table()]
+        ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        assert got.equals(want), f"as_of_lsn={x} mismatch"
+
+
+def test_time_travel_by_version(ray_session, binlog_dir, tmp_path):
+    """Reading an older manifest snapshot returns the state after exactly
+    that chunk's commit."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    lake = str(tmp_path / "lake_ver")
+    replay(binlog_dir, lake, num_buckets=16, files_per_chunk=4,
+           disorder_bound=DISORDER)
+    paths = sorted(
+        os.path.join(binlog_dir, f)
+        for f in os.listdir(binlog_dir)
+        if f.endswith(".parquet")
+    )
+    chunks = plan_chunks(paths, 4, DISORDER)
+    # version v2 == state after applying chunks 0 and 1
+    from clinical_trials_etl_ray.schema import unify_to_event_schema
+
+    first_two = [p for chunk in chunks[:2] for p in chunk[0]]
+    events = pa.concat_tables(
+        [unify_to_event_schema(pq.read_table(p)) for p in first_two]
+    )
+    want = oracle_final_table(events)
+    got = pa.concat_tables(
+        [b for b in read_final_table(lake, version=2).iter_batches(
+            batch_format="pyarrow")]
+    ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert got.equals(want)
