@@ -26,7 +26,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-N_EVENTS = int(os.environ.get("GRAFT_BENCH_EVENTS", "2000000"))
+N_EVENTS = int(os.environ.get("GRAFT_BENCH_EVENTS", "8000000"))
 # scaling runs need enough work per CPU that compute dominates the fixed
 # per-run serial overhead (~2-3 s: chunk-boundary pipeline drains, manifest
 # commits, dataset startup) — 24M events ≈ 50 s at 1 CPU keeps that under 5%

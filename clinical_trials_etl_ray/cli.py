@@ -63,6 +63,10 @@ def main(argv=None) -> int:
     dp.add_argument("lake_dir")
     dp.add_argument("out_dir")
     dp.add_argument("--format", choices=["parquet", "csv", "json"], default="parquet")
+    dp.add_argument("--as-of-lsn", type=int, default=None,
+                    help="time travel: state as of this LSN")
+    dp.add_argument("--version", type=int, default=None,
+                    help="time travel: read an older manifest snapshot")
 
     op = sub.add_parser("oracle")
     op.add_argument("binlog_dir")
@@ -128,7 +132,9 @@ def main(argv=None) -> int:
             from .sources.writers import write_csv, write_json, write_parquet
             from .stages.merge import read_final_table
 
-            ds = read_final_table(args.lake_dir)
+            ds = read_final_table(
+                args.lake_dir, as_of_lsn=args.as_of_lsn, version=args.version
+            )
             {"parquet": write_parquet, "csv": write_csv, "json": write_json}[
                 args.format
             ](ds, args.out_dir)
