@@ -251,6 +251,41 @@ def q_media_features(sf_dir: str):
     )
 
 
+def q_media_near_dup(sf_dir: str):
+    """Rows-only: the composed multimodal pipeline — binary payloads →
+    actor-pool decode (stub) → feature vectors → cosine near-dup. Planted
+    payload duplicates yield identical features (cos = 1). The comparison
+    matrix is collected once (small corpus) and broadcast; at lake scale the
+    LSH-bucketed path (near_dup_cosine_lsh) replaces the broadcast."""
+    import ray
+
+    from ..stages.embed import normalize_rows
+
+    feats = media_features_ds(n=300, dup_rate=0.1)
+    df = feats.select_columns(["media_id", "feature"]).to_pandas()
+    ids = df["media_id"].to_numpy()
+    mat = normalize_rows(np.stack(df["feature"].to_numpy()).astype(np.float64))
+    ref = ray.put({"ids": ids, "mat": mat})
+
+    class Scorer:
+        def __init__(self):
+            a = ray.get(ref)
+            self.ids, self.mat = a["ids"], a["mat"]
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            m = normalize_rows(np.stack(b["feature"].to_numpy()).astype(np.float64))
+            cos = m @ self.mat.T
+            bi, aj = np.nonzero(cos >= 0.95)
+            ia, ib = b["media_id"].to_numpy()[bi], self.ids[aj]
+            keep = ia < ib
+            return pd.DataFrame(
+                {"id_a": ia[keep], "id_b": ib[keep],
+                 "cos_sim": np.round(cos[bi, aj][keep], 6)}
+            )
+
+    return feats.map_batches(Scorer, batch_format="pandas", concurrency=(1, 4))
+
+
 QUERIES = {
     "token_counts": q_token_counts,
     "punct_stats": q_punct_stats,
@@ -266,6 +301,7 @@ QUERIES = {
     "near_dup_cosine": q_near_dup_cosine,
     "near_dup_cosine_lsh": q_near_dup_cosine_lsh,
     "media_features": q_media_features,
+    "media_near_dup": q_media_near_dup,
 }
 
 _JACCARD_SQL = """

@@ -42,12 +42,22 @@ MEDIA_SCHEMA = pa.schema(
 FEATURE_DIM = 16
 
 
-def synth_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media corpus (payload bytes from a seeded RNG)."""
+def synth_media_table(n: int, seed: int = 42, dup_rate: float = 0.0) -> pa.Table:
+    """Deterministic fake media corpus (payload bytes from a seeded RNG).
+
+    ``dup_rate`` plants verbatim payload copies (media_id differs) so
+    downstream near-dup detection has known ground truth."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"])[np.arange(n) % 3]
     sizes = rng.integers(256, 4096, size=n)
     payloads = [rng.integers(0, 256, size=s, dtype=np.uint8).tobytes() for s in sizes]
+    k = int(n * dup_rate)
+    if k:
+        src = rng.choice(n, size=k, replace=False)
+        dst = rng.choice(np.setdiff1d(np.arange(n), src), size=k, replace=False)
+        for s, d in zip(src, dst):
+            payloads[d] = payloads[s]
+            kinds[d] = kinds[s]
     meta = [
         {"width": int(64 + (i % 8) * 32), "height": int(64 + (i % 5) * 32),
          "duration_ms": int(1000 + (i % 11) * 500)}
@@ -112,14 +122,15 @@ class RealDecoder:
         raise NotImplementedError("real decode path not exercised in sandbox")
 
 
-def media_features_ds(n: int = 300, batch_size: int = 32, concurrency=2):
+def media_features_ds(n: int = 300, batch_size: int = 32, concurrency=2,
+                      dup_rate: float = 0.0):
     """The full plumbing: synth corpus → actor-pool decode → features.
 
     batch_size is deliberately small: payload rows are wide, and the batch ×
     concurrency product must fit the worker heap at real payload sizes."""
     import ray.data
 
-    ds = ray.data.from_arrow(synth_media_table(n))
+    ds = ray.data.from_arrow(synth_media_table(n, dup_rate=dup_rate))
     return ds.map_batches(
         DeterministicFakeDecoder,
         batch_format="pyarrow",

@@ -140,3 +140,28 @@ def test_ivf_recall_at_small_nprobe(ray_session):
     want = set(map(tuple, bf[["qid", "vec_id"]].itertuples(index=False)))
     got = set(map(tuple, ivf[["qid", "vec_id"]].itertuples(index=False)))
     assert len(want & got) / len(want) >= 0.5
+
+
+def test_media_near_dup_finds_planted_payload_copies(ray_session):
+    """Planted verbatim payload copies must surface as cos=1 pairs through
+    the full decode→feature→near-dup pipeline."""
+    import numpy as np
+
+    from clinical_trials_etl_ray.stages.multimodal import synth_media_table
+
+    pairs = tx.q_media_near_dup(SF).to_pandas()
+    assert len(pairs) >= 25  # 10% of 300 planted
+    assert (pairs["cos_sim"] >= 0.95).all()
+    assert (pairs["id_a"] < pairs["id_b"]).all()
+    # cross-check against ground truth: identical payloads
+    t = synth_media_table(300, dup_rate=0.1)
+    payloads = t.column("payload").to_pylist()
+    by_payload = {}
+    want = set()
+    for i, p in enumerate(payloads):
+        if p in by_payload:
+            want.add((by_payload[p], i))
+        else:
+            by_payload[p] = i
+    got = set(map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False)))
+    assert want <= got  # every planted dup found (cos=1 exact)
