@@ -86,8 +86,14 @@ def main(argv=None) -> int:
             n_events=args.events, n_convs=args.convs, seed=args.seed,
             duplicate_rate=args.dup_rate, shuffle_window=args.shuffle_window,
         )
+        if args.events >= 1_000_000:
+            _ray_init(args.num_cpus)  # parallel shard build kicks in
         paths = write_binlog_shards(spec, args.out_dir, n_shards=args.shards)
         print(json.dumps({"shards": len(paths), "events": args.events}))
+        import ray
+
+        if ray.is_initialized():
+            ray.shutdown()
         return 0
 
     if args.cmd == "oracle":

@@ -87,3 +87,23 @@ def test_shard_writer_schema_evolution(tmp_path):
     assert any("tool" in s.names for s in schemas)
     total = sum(pq.read_metadata(p).num_rows for p in paths)
     assert total == 4000
+
+
+def test_parallel_shard_writer_identical(ray_session, tmp_path):
+    """Parallel (Ray-task) shard generation must be byte-identical to the
+    serial path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clinical_trials_etl_ray.synth import BinlogSpec, write_binlog_shards
+
+    spec = BinlogSpec(n_events=30_000, n_convs=200, seed=9,
+                      duplicate_rate=0.02, shuffle_window=128)
+    d1, d2 = str(tmp_path / "serial"), str(tmp_path / "parallel")
+    p1 = write_binlog_shards(spec, d1, n_shards=8, parallel=False)
+    p2 = write_binlog_shards(spec, d2, n_shards=8, parallel=True)
+    assert len(p1) == len(p2) == 8
+    for a, b in zip(sorted(p1), sorted(p2)):
+        ta, tb = pq.read_table(a), pq.read_table(b)
+        assert ta.schema.equals(tb.schema), (a, b)
+        assert ta.equals(tb), (a, b)
