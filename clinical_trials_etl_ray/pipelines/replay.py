@@ -39,8 +39,8 @@ class ReplayReport:
     final_version: int = 0
 
 
-def _shard_lsn_range(path: str) -> tuple[int, int]:
-    """(min_lsn, max_lsn) from parquet row-group stats — no data read."""
+def _shard_lsn_range(path: str) -> tuple[int, int, int]:
+    """(min_lsn, max_lsn, num_rows) from parquet metadata — no data read."""
     md = pq.read_metadata(path)
     lo, hi = None, None
     idx = md.schema.to_arrow_schema().get_field_index("lsn")
@@ -53,7 +53,7 @@ def _shard_lsn_range(path: str) -> tuple[int, int]:
         t = pq.read_table(path, columns=["lsn"])
         lo = pc.min(t["lsn"]).as_py()
         hi = pc.max(t["lsn"]).as_py()
-    return int(lo), int(hi)
+    return int(lo), int(hi), int(md.num_rows)
 
 
 def plan_chunks(
@@ -77,16 +77,19 @@ def plan_chunks(
     chunks = []
     running_max = -1
     for i, part in enumerate(groups):
-        running_max = max(running_max, max(hi for _, _, hi in part))
+        running_max = max(running_max, max(hi for _, _, hi, _ in part))
         later_min = min(
-            (lo for g in groups[i + 1 :] for _, lo, _ in g), default=None
+            (lo for g in groups[i + 1 :] for _, lo, _, _ in g), default=None
         )
         if later_min is None:
             wm = running_max - disorder_bound
         else:
             wm = min(running_max, later_min - 1)
-        chunk_max = max(hi for _, _, hi in part)
-        chunks.append(([p for p, _, _ in part], wm, chunk_max))
+        chunk_max = max(hi for _, _, hi, _ in part)
+        chunks.append(
+            ([p for p, _, _, _ in part], wm, chunk_max,
+             sum(nr for _, _, _, nr in part))
+        )
     return chunks
 
 
@@ -136,11 +139,12 @@ def replay(
     chunks = plan_chunks(shard_paths, files_per_chunk, disorder_bound)
     report.chunks_total = len(chunks)
 
-    for paths, commit_wm, chunk_max_lsn in chunks:
+    for paths, commit_wm, chunk_max_lsn, chunk_rows in chunks:
         wm_global = man.global_watermark()
         if chunk_max_lsn <= wm_global:
             report.chunks_skipped += 1
             continue
+        report.events_read += chunk_rows
 
         # Block count bounds BOTH parallelism and delta-file count (direct
         # mode writes one file per task × touched bucket): scale blocks with

@@ -224,7 +224,7 @@ def test_time_travel_as_of_lsn(ray_session, tmp_path):
         for f in os.listdir(binlog)
         if f.endswith(".parquet")
     )
-    watermarks = [wm for _, wm, _ in plan_chunks(paths, 4)]
+    watermarks = [wm for _, wm, _, _ in plan_chunks(paths, 4)]
     for x in watermarks:
         want = oracle_final_table(
             events.filter(pc.less_equal(events["lsn"], x))
