@@ -123,14 +123,15 @@ def q_fingerprint_rolling(sf_dir: str):
 JACCARD_THRESHOLD = 0.8
 
 
-def q_near_dup_jaccard(sf_dir: str):
+def q_near_dup_jaccard(sf_dir: str, verify: str = "broadcast"):
     """MinHash(128) + LSH(32×4) candidates + exact word-3gram Jaccard verify
     ≥ 0.8. With these band parameters the miss probability at j≥0.8 is
     <5e-8, so the output equals the exact all-pairs SQL oracle w.h.p.
 
-    The verify step broadcasts the candidate docs' texts (candidates ≪
-    corpus); at lake scale you would join pair-ids back to text via the
-    co-partitioned join instead."""
+    verify="broadcast": candidate texts ship once via ray.put (fine while
+    the corpus fits one worker's heap). verify="join": the 100-TB path —
+    pair ids are joined back to texts with two co-partitioned hash joins,
+    then scored per batch; nothing is collected driver-side."""
     import pyarrow.parquet as pq
     import ray
 
@@ -144,6 +145,40 @@ def q_near_dup_jaccard(sf_dir: str):
         candidate_pairs_partition, batch_format="pandas"
     )
     uniq = dedupe_pairs(cands)
+
+    if verify == "join":
+        from ..stages.join import copartition_join
+
+        docs_a = _docs(sf_dir).rename_columns(
+            {"doc_id": "id_a", "text": "text_a"}
+        )
+        docs_b = _docs(sf_dir).rename_columns(
+            {"doc_id": "id_b", "text": "text_b"}
+        )
+        joined = copartition_join(
+            copartition_join(uniq, docs_a, on="id_a", num_buckets=16),
+            docs_b,
+            on="id_b",
+            num_buckets=16,
+        )
+
+        def score(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame(
+                    {"id_a": pd.Series([], dtype="int64"),
+                     "id_b": pd.Series([], dtype="int64"),
+                     "jaccard": pd.Series([], dtype="float64")}
+                )
+            jac = [
+                exact_jaccard(a, b)
+                for a, b in zip(df["text_a"], df["text_b"])
+            ]
+            df = df.assign(jaccard=np.round(jac, 6))
+            return df[df["jaccard"] >= JACCARD_THRESHOLD][
+                ["id_a", "id_b", "jaccard"]
+            ]
+
+        return joined.map_batches(score, batch_format="pandas")
 
     texts_tbl = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]

@@ -42,6 +42,24 @@ def _key_buckets(table: pa.Table, keys: list, num_buckets: int) -> np.ndarray:
     return bucket_ids(joined.to_numpy(dtype=object), num_buckets).astype(np.int64)
 
 
+def _arrow_schema(ds) -> pa.Schema:
+    """Dataset schema as a pa.Schema, whether blocks are Arrow or pandas
+    (pandas-block datasets report numpy dtypes; object → string)."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for n, t in zip(s.names, s.types):
+        if isinstance(t, pa.DataType):
+            fields.append(pa.field(n, t))
+        elif np.dtype(t).kind == "O":
+            fields.append(pa.field(n, pa.string()))
+        else:
+            fields.append(pa.field(n, pa.from_numpy_dtype(np.dtype(t))))
+    return pa.schema(fields)
+
+
 def broadcast_join(ds, small_df: pd.DataFrame, on, how: str = "inner"):
     """Join a Dataset with a small pandas table without any shuffle."""
     import ray
@@ -88,8 +106,8 @@ def copartition_join(
             batch_size=batch_size,
         )
 
-    l_schema = left.schema().base_schema
-    r_schema = right.schema().base_schema
+    l_schema = _arrow_schema(left)
+    r_schema = _arrow_schema(right)
     l_names = list(l_schema.names)
     r_names = list(r_schema.names)
     l_only = [n for n in l_names if n not in on_cols]
@@ -124,9 +142,24 @@ def copartition_join(
         right.map_batches(tag(1), batch_format="pyarrow", batch_size=batch_size)
     )
 
+    # The tagged union null-fills each side's absent columns, which pandas
+    # represents by upcasting int columns to float64 for the WHOLE column.
+    # Restore integer dtypes after splitting sides — otherwise a chained
+    # second join hashes "42.0" (string fallback path) on one side and 42
+    # (int path) on the other and silently drops matches.
+    int_cols = {
+        f.name for f in unified if pa.types.is_integer(f.type)
+    } - {"__side", "__bucket"}
+
+    def _restore_ints(df: pd.DataFrame) -> pd.DataFrame:
+        for n in df.columns:
+            if n in int_cols and df[n].dtype != np.int64 and df[n].notna().all():
+                df = df.assign(**{n: df[n].astype(np.int64)})
+        return df
+
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lf = g[g["__side"] == 0][on_cols + l_only]
-        rf = g[g["__side"] == 1][on_cols + r_only]
+        lf = _restore_ints(g[g["__side"] == 0][on_cols + l_only])
+        rf = _restore_ints(g[g["__side"] == 1][on_cols + r_only])
         if how in ("semi", "anti"):
             keys = rf[on_cols].drop_duplicates()
             m = lf.merge(keys, on=on_cols, how="left", indicator=True)

@@ -165,3 +165,14 @@ def test_media_near_dup_finds_planted_payload_copies(ray_session):
             by_payload[p] = i
     got = set(map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False)))
     assert want <= got  # every planted dup found (cos=1 exact)
+
+
+def test_near_dup_join_verify_equals_broadcast(ray_session):
+    """The co-partitioned-join verify path (100-TB variant) must produce
+    exactly the broadcast path's result."""
+    a = tx.q_near_dup_jaccard(SF).to_pandas()
+    b = tx.q_near_dup_jaccard(SF, verify="join").to_pandas()
+    key = ["id_a", "id_b", "jaccard"]
+    pa_ = a[key].sort_values(key).reset_index(drop=True)
+    pb_ = b[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(pa_, pb_, check_dtype=False)
