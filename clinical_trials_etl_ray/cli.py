@@ -55,6 +55,10 @@ def main(argv=None) -> int:
     rp.add_argument("--files-per-chunk", type=int, default=16)
     rp.add_argument("--disorder-bound", type=int, default=0)
     rp.add_argument("--merge-mode", choices=["direct", "shuffle"], default="direct")
+    rp.add_argument("--follow", action="store_true",
+                    help="tail the binlog dir until no new shards arrive")
+    rp.add_argument("--poll-interval", type=float, default=2.0)
+    rp.add_argument("--idle-rounds", type=int, default=3)
 
     cp = sub.add_parser("compact")
     cp.add_argument("lake_dir")
@@ -121,13 +125,19 @@ def main(argv=None) -> int:
 
     try:
         if args.cmd == "replay":
-            from .pipelines.replay import replay
+            from .pipelines.replay import follow, replay
 
-            r = replay(
-                args.binlog_dir, args.lake_dir, num_buckets=args.buckets,
+            kw = dict(
+                num_buckets=args.buckets,
                 files_per_chunk=args.files_per_chunk,
                 disorder_bound=args.disorder_bound, merge_mode=args.merge_mode,
             )
+            if args.follow:
+                r = follow(args.binlog_dir, args.lake_dir,
+                           poll_interval_s=args.poll_interval,
+                           idle_rounds=args.idle_rounds, **kw)
+            else:
+                r = replay(args.binlog_dir, args.lake_dir, **kw)
             print(json.dumps(r.__dict__))
         elif args.cmd == "compact":
             from .pipelines.replay import compact

@@ -765,6 +765,30 @@ def q_completeness_buckets(sf_dir: str):
     return out.sort("category")
 
 
+def q_top3_orders_per_priority(sf_dir: str):
+    """Group-wise top-k (window-rank analog of K1's global top-k): top-3
+    orders by price per priority. Each batch pre-trims to its local top-3
+    per group BEFORE the shuffle, so the exchange carries ≤ 3·groups rows
+    per batch instead of the table — the partial-top-k pattern that keeps
+    group-wise ranking shuffle-light at scale."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
+
+    def pretrim(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_orderpriority", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        return df.groupby("o_orderpriority").head(3)
+
+    trimmed = ds.map_batches(pretrim, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        return g.head(3)
+
+    return trimmed.groupby("o_orderpriority").map_groups(final, batch_format="pandas")
+
+
 SESSION_GAP_S = 1800
 
 
@@ -793,6 +817,7 @@ def q_user_sessions(sf_dir: str):
 QUERIES = {
     "count_lineitem": q_count_lineitem,
     "user_sessions": q_user_sessions,
+    "top3_orders_per_priority": q_top3_orders_per_priority,
     "customers_with_orders": q_customers_with_orders,
     "customers_no_urgent_orders": q_customers_no_urgent_orders,
     "event_type_value_agg": q_event_type_value_agg,
@@ -995,6 +1020,13 @@ ORACLE_SQL = {
     "standardize_keys": (
         "SELECT n_nationkey AS nationkey, n_name AS name, "
         "n_regionkey AS regionkey FROM nation"
+    ),
+    "top3_orders_per_priority": (
+        "SELECT o_orderpriority, o_orderkey, o_totalprice FROM ("
+        "SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER ("
+        "PARTITION BY o_orderpriority "
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) "
+        "WHERE rn <= 3"
     ),
     "user_sessions": (
         "WITH d AS (SELECT user_id, ts, "

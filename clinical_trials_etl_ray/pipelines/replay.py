@@ -201,6 +201,55 @@ def replay(
     return report
 
 
+def follow(
+    binlog: str,
+    lake_dir: str,
+    poll_interval_s: float = 2.0,
+    idle_rounds: int = 3,
+    max_rounds: int | None = None,
+    **replay_kwargs,
+) -> ReplayReport:
+    """Tail a growing binlog directory: repeatedly replay (committed chunks
+    are skipped via the manifest watermark, so each round ingests only new
+    shards), stopping after ``idle_rounds`` consecutive polls with nothing
+    new. This is the continuous-ingest driver loop; exactly-once semantics
+    come entirely from the chunked watermark commits, not from this loop.
+    Producers must publish shards ATOMICALLY (write to a temp name, then
+    rename into the directory) — a half-written parquet file that gets
+    listed would fail the metadata read.
+    """
+    import time as _time
+
+    total = ReplayReport()
+    idle = 0
+    rounds = 0
+    seen: tuple = ()
+    while idle < idle_rounds and (max_rounds is None or rounds < max_rounds):
+        shards = tuple(
+            sorted(f for f in os.listdir(binlog) if f.endswith(".parquet"))
+        )
+        # idleness = the DIRECTORY stopped growing, not chunks_applied == 0:
+        # the final chunk's conservative tail watermark legitimately
+        # re-applies on every pass (harmless LWW no-op), so it can never
+        # signal quiescence.
+        if shards == seen:
+            idle += 1
+        else:
+            seen = shards
+            idle = 0
+            r = replay(binlog, lake_dir, **replay_kwargs)
+            total.chunks_total += r.chunks_total
+            total.chunks_skipped += r.chunks_skipped
+            total.chunks_applied += r.chunks_applied
+            total.events_read += r.events_read
+            total.delta_rows_written += r.delta_rows_written
+            total.final_version = r.final_version
+        rounds += 1
+        if idle < idle_rounds and (max_rounds is None or rounds < max_rounds):
+            _time.sleep(poll_interval_s)
+    return total
+
+
 def compact(lake_dir: str, tombstone_horizon_us: int | None = None) -> int:
     """Fold every bucket's base+deltas into one base file each; one manifest
     commit swaps all file lists atomically. Returns buckets compacted.

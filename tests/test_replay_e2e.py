@@ -266,3 +266,42 @@ def test_time_travel_by_version(ray_session, binlog_dir, tmp_path):
             batch_format="pyarrow")]
     ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
     assert got.equals(want)
+
+
+def test_follow_tails_growing_binlog(ray_session, tmp_path):
+    """follow() ingests shards that arrive while it is polling and
+    converges to the oracle state."""
+    import os
+    import shutil
+    import threading
+
+    from clinical_trials_etl_ray.pipelines.replay import follow
+
+    src = str(tmp_path / "all_shards")
+    spec = BinlogSpec(n_events=12_000, n_convs=200, seed=11,
+                      duplicate_rate=0.02, shuffle_window=64)
+    all_paths = sorted(write_binlog_shards(spec, src, n_shards=8))
+    live = str(tmp_path / "live_binlog")
+    os.makedirs(live)
+    for p in all_paths[:4]:
+        shutil.copy(p, live)
+
+    def feeder():
+        # atomic publish: temp name, then rename (the follow() contract)
+        for p in all_paths[4:]:
+            tmp = os.path.join(live, os.path.basename(p) + ".tmp")
+            shutil.copy(p, tmp)
+            os.replace(tmp, os.path.join(live, os.path.basename(p)))
+
+    t = threading.Thread(target=feeder)
+    lake = str(tmp_path / "lake_follow")
+    # first round ingests the initial 4 shards; feeder adds the rest while
+    # follow polls; loop exits after 2 idle rounds
+    t.start()
+    rep = follow(live, lake, poll_interval_s=0.5, idle_rounds=2,
+                 num_buckets=16, files_per_chunk=2,
+                 disorder_bound=spec.shuffle_window)
+    t.join()
+    assert rep.chunks_applied >= 4
+    want = oracle_final_table(generate_events(spec))
+    assert _final_sorted(lake).equals(want)
