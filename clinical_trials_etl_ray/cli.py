@@ -53,7 +53,9 @@ def main(argv=None) -> int:
     rp.add_argument("lake_dir")
     rp.add_argument("--buckets", type=int, default=64)
     rp.add_argument("--files-per-chunk", type=int, default=16)
-    rp.add_argument("--disorder-bound", type=int, default=0)
+    rp.add_argument("--disorder-bound", type=int, default=None,
+                    help="producer out-of-order bound in LSN units; default: "
+                         "the binlog's _meta.json published bound, else 0")
     rp.add_argument("--merge-mode", choices=["direct", "shuffle"], default="direct")
     rp.add_argument("--follow", action="store_true",
                     help="tail the binlog dir until no new shards arrive")
@@ -79,7 +81,7 @@ def main(argv=None) -> int:
     vp = sub.add_parser("verify")
     vp.add_argument("binlog_dir")
     vp.add_argument("--buckets", type=int, default=16)
-    vp.add_argument("--disorder-bound", type=int, default=0)
+    vp.add_argument("--disorder-bound", type=int, default=None)
 
     args = p.parse_args(argv)
 

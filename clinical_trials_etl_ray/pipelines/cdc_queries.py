@@ -84,11 +84,21 @@ def derived_binlog_ds(sf_dir: str):
     return ds.map_batches(events_to_binlog, batch_format="pyarrow")
 
 
-def run_cdc_replay(sf_dir: str, num_buckets: int = 16, files_per_chunk: int = 4):
+def run_cdc_replay(
+    sf_dir: str,
+    num_buckets: int = 16,
+    files_per_chunk: int = 4,
+    compact_first: bool = False,
+    conv_range: tuple | None = None,
+):
     """Full engine E2E: derive binlog → write shards → chunked replay with
     manifest commits → shuffle-free final-table read. Returns the final
-    transcript table as a Ray Dataset."""
-    from ..pipelines.replay import replay
+    transcript table as a pyarrow Table.
+
+    ``compact_first`` folds every bucket to a sorted, stats-carrying base
+    file before the read; ``conv_range`` exercises the manifest-pruned
+    predicate-pushdown read path (stages/merge.read_final_table)."""
+    from ..pipelines.replay import compact, replay
     from ..stages.merge import read_final_table
 
     work = tempfile.mkdtemp(prefix="cdc_replay_", dir="/tmp")
@@ -96,12 +106,16 @@ def run_cdc_replay(sf_dir: str, num_buckets: int = 16, files_per_chunk: int = 4)
     lake_dir = os.path.join(work, "lake")
     derived_binlog_ds(sf_dir).write_parquet(binlog_dir)
     replay(binlog_dir, lake_dir, num_buckets=num_buckets, files_per_chunk=files_per_chunk)
-    final = read_final_table(lake_dir)
+    if compact_first:
+        compact(lake_dir)
+    final = read_final_table(lake_dir, conv_range=conv_range)
     # materialize before cleaning the temp lake (result is ~#keys rows, small
     # relative to the log; the heavy work happened in the replay above)
+    from ..schema import TRANSCRIPT_SCHEMA
+
     table = pa.concat_tables(
         list(final.iter_batches(batch_format="pyarrow"))
-        or [EVENT_SCHEMA.empty_table().select(["conv_id"])]
+        or [TRANSCRIPT_SCHEMA.empty_table()]
     )
     shutil.rmtree(work, ignore_errors=True)
     return table
@@ -228,11 +242,29 @@ def q_cdc_final_by_role(sf_dir: str):
     return out.map_batches(cast_back, batch_format="pyarrow")
 
 
+def q_cdc_final_conv_filter(sf_dir: str):
+    """Non-key access path to the lake (the secondary-index analog,
+    reference: mongodb_storage.py:94-134): replay → compact (sorts each
+    bucket by (conv_id, turn_idx) and records per-file conv min/max in the
+    manifest) → predicate-pushdown read of one conv_id range, pruning files
+    from manifest stats before any I/O. The range is lexicographic on the
+    string key (matches 'c1', 'c10'..'c19', 'c2'); byte-wise string
+    comparison agrees between Arrow and DuckDB."""
+    return run_cdc_replay(sf_dir, compact_first=True, conv_range=("c1", "c2"))
+
+
+SQL_FINAL_CONV_FILTER = f"""
+WITH final AS ({SQL_FINAL})
+SELECT * FROM final WHERE conv_id >= 'c1' AND conv_id <= 'c2'
+"""
+
+
 QUERIES = {
     "cdc_binlog_derive": q_cdc_binlog_derive,
     "cdc_lww_winners": q_cdc_lww_winners,
     "cdc_replay_final": q_cdc_replay_final,
     "cdc_final_by_role": q_cdc_final_by_role,
+    "cdc_final_conv_filter": q_cdc_final_conv_filter,
 }
 
 ORACLE_SQL = {
@@ -240,4 +272,5 @@ ORACLE_SQL = {
     "cdc_lww_winners": SQL_WINNERS,
     "cdc_replay_final": SQL_FINAL,
     "cdc_final_by_role": SQL_FINAL_BY_ROLE,
+    "cdc_final_conv_filter": SQL_FINAL_CONV_FILTER,
 }

@@ -31,12 +31,27 @@ from ..state.manifest import Manifest
 
 @dataclass
 class ReplayReport:
+    """Per-run ingest metrics (reference analog: bulk-write duplicate
+    counting, trials_extractor/storage/mongodb_storage.py:422-430).
+
+    events_read ≥ rows_deduped ≥ winners_written; the difference
+    events_read − rows_deduped is events collapsed by in-batch LWW pre-
+    combine plus events dropped by the global-watermark prep filter, and
+    stale_skipped counts rows a writer additionally filtered against its
+    bucket's committed watermark (idempotent re-delivery)."""
+
     chunks_total: int = 0
     chunks_skipped: int = 0
     chunks_applied: int = 0
     events_read: int = 0
+    rows_deduped: int = 0
+    stale_skipped: int = 0
     delta_rows_written: int = 0
     final_version: int = 0
+
+    @property
+    def winners_written(self) -> int:
+        return self.delta_rows_written
 
 
 def _shard_lsn_range(path: str) -> tuple[int, int, int]:
@@ -93,17 +108,36 @@ def plan_chunks(
     return chunks
 
 
+def producer_disorder_bound(binlog) -> int | None:
+    """The producer-published out-of-order bound, if the binlog directory
+    carries a ``_meta.json`` sidecar (synth.write_binlog_shards writes one).
+    None when no sidecar exists."""
+    import json
+
+    if isinstance(binlog, str):
+        p = os.path.join(binlog, "_meta.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                return int(json.load(f).get("disorder_bound", 0))
+    return None
+
+
 def replay(
     binlog: str | list,
     lake_dir: str,
     num_buckets: int = 64,
     files_per_chunk: int = 16,
     batch_size: int | None = None,
-    disorder_bound: int = 0,
+    disorder_bound: int | None = None,
     merge_mode: str = "direct",
     hot_key_salt: int = 1,
 ) -> ReplayReport:
     """Replay a binlog directory (or explicit shard list) into the lake.
+
+    disorder_bound: the producer's guaranteed bound on out-of-order delivery
+    in LSN units. ``None`` (default) reads the producer-published bound from
+    the binlog's ``_meta.json`` sidecar, falling back to 0 (a strictly
+    LSN-ordered WAL). Pass explicitly to override.
 
     merge_mode:
       - "direct" (default): zero-shuffle ingest — every dedupe task writes
@@ -134,6 +168,9 @@ def replay(
     else:
         shard_paths = list(binlog)
 
+    if disorder_bound is None:
+        disorder_bound = producer_disorder_bound(binlog) or 0
+
     man = Manifest.load_or_create(lake_dir, num_buckets, salt_factor=hot_key_salt)
     report = ReplayReport()
     chunks = plan_chunks(shard_paths, files_per_chunk, disorder_bound)
@@ -156,13 +193,19 @@ def replay(
         ncpu = int(_ray.cluster_resources().get("CPU", 32))
         nblocks = max(len(paths) // 4, min(len(paths), 2 * ncpu), 1)
         ds = ray.data.read_parquet(paths, override_num_blocks=nblocks)
+        # Stale rows (lsn ≤ committed watermark) are filtered AT THE WRITER
+        # against each bucket's watermark, not here: the writer's count is
+        # then an exact per-chunk stale_skipped metric, and correctness is
+        # unchanged — a stale row is already represented in the lake, so
+        # even if it beats a fresh same-key row in the in-batch LWW
+        # pre-combine, the read-path LWW resolves the same global winner.
         ds = ds.map_batches(
             prep_batch,
             batch_format="pyarrow",
             batch_size=batch_size,
             fn_kwargs={
                 "num_buckets": num_buckets,
-                "min_lsn_exclusive": wm_global,
+                "min_lsn_exclusive": -1,
                 "salt_factor": man.salt_factor,
             },
         )
@@ -184,17 +227,30 @@ def replay(
                 "row_count": int(r["row_count"]),
                 "min_lsn": int(r["min_lsn"]),
                 "max_lsn": int(r["max_lsn"]),
+                "conv_min": r.get("conv_min"),
+                "conv_max": r.get("conv_max"),
             }
             for r in stats
+            if r["kind"] != "noop"  # stale-only writer output: metrics, no file
         ]
         delta_rows = sum(f["row_count"] for f in new_files)
+        rows_deduped = sum(int(r.get("rows_in") or 0) for r in stats)
+        stale_skipped = sum(int(r.get("stale_skipped") or 0) for r in stats)
         man = man.commit(
             new_files,
             new_watermark_lsn=max(commit_wm, wm_global),
             schema_names=["lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"],
-            metrics={"chunk_max_lsn": chunk_max_lsn, "delta_rows": delta_rows},
+            metrics={
+                "chunk_max_lsn": chunk_max_lsn,
+                "events_read": chunk_rows,
+                "rows_deduped": rows_deduped,
+                "stale_skipped": stale_skipped,
+                "delta_rows": delta_rows,
+            },
         )
         report.chunks_applied += 1
+        report.rows_deduped += rows_deduped
+        report.stale_skipped += stale_skipped
         report.delta_rows_written += delta_rows
 
     report.final_version = man.version
@@ -219,6 +275,24 @@ def follow(
     listed would fail the metadata read.
     """
     import time as _time
+    import warnings
+
+    # In follow mode a zero disorder bound on an out-of-order producer LOSES
+    # events: each round commits the tail chunk at running-max LSN, so a
+    # late-delivered shard with smaller LSNs is filtered as already-applied.
+    # Resolve the effective bound the same way replay() will and warn loudly
+    # when it is 0 and the producer published none (ADVICE r01).
+    eff = replay_kwargs.get("disorder_bound")
+    if eff is None:
+        eff = producer_disorder_bound(binlog)
+        if eff is None:
+            warnings.warn(
+                "follow(): no disorder_bound given and the binlog has no "
+                "_meta.json producer bound — a 0 bound on an out-of-order "
+                "producer silently drops late events; pass disorder_bound "
+                "explicitly if the producer can reorder deliveries",
+                stacklevel=2,
+            )
 
     total = ReplayReport()
     idle = 0

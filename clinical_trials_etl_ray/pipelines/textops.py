@@ -22,12 +22,13 @@ from ..stages.dedup_text import (
     candidate_pairs_partition,
     dedupe_pairs,
     exact_jaccard,
-    hamming64,
     simhash_blocks,
+    simhash_candidate_pairs_partition,
 )
 from ..stages.embed import (
     ann_topk,
     ann_topk_ivf,
+    lsh_pairs,
     near_dup_pairs_cosine,
     near_dup_pairs_lsh,
 )
@@ -63,8 +64,9 @@ def q_punct_stats(sf_dir: str):
     ds = _docs(sf_dir)
 
     def f(t: pa.Table) -> pa.Table:
-        n_punct = pc.cast(pc.count_substring_regex(t["text"], pattern="[.!?,;:]"), pa.float64())
-        n = pc.cast(pc.utf8_length(t["text"]), pa.float64())
+        text = pc.fill_null(t["text"], "")  # NULL counts as '' (oracle-aligned)
+        n_punct = pc.cast(pc.count_substring_regex(text, pattern="[.!?,;:]"), pa.float64())
+        n = pc.cast(pc.utf8_length(text), pa.float64())
         ratio = pc.divide(n_punct, pc.max_element_wise(n, pa.scalar(1.0)))
         return pa.Table.from_arrays([t["doc_id"], ratio], names=["doc_id", "punct_ratio"])
 
@@ -122,18 +124,43 @@ def q_fingerprint_rolling(sf_dir: str):
 
 JACCARD_THRESHOLD = 0.8
 
+# corpora whose compressed text payload exceeds this are verified via the
+# co-partitioned join path; below it the texts fit one worker's heap and the
+# broadcast path avoids the join's two exchanges
+BROADCAST_VERIFY_MAX_BYTES = 256 << 20
 
-def q_near_dup_jaccard(sf_dir: str, verify: str = "broadcast"):
+
+def _docs_compressed_bytes(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(os.path.join(sf_dir, "documents.parquet"))
+    return sum(
+        md.row_group(i).total_byte_size for i in range(md.num_row_groups)
+    )
+
+
+def q_near_dup_jaccard(sf_dir: str, verify: str = "join"):
     """MinHash(128) + LSH(32×4) candidates + exact word-3gram Jaccard verify
     ≥ 0.8. With these band parameters the miss probability at j≥0.8 is
     <5e-8, so the output equals the exact all-pairs SQL oracle w.h.p.
 
-    verify="broadcast": candidate texts ship once via ray.put (fine while
-    the corpus fits one worker's heap). verify="join": the 100-TB path —
-    pair ids are joined back to texts with two co-partitioned hash joins,
-    then scored per batch; nothing is collected driver-side."""
+    verify="join" (default — the 100-TB path): pair ids are joined back to
+    texts with two co-partitioned hash joins, then scored per batch; nothing
+    is collected driver-side. verify="broadcast": candidate texts ship once
+    via ray.put — faster while the corpus fits one worker's heap, a driver
+    OOM beyond that; opt in explicitly for small corpora. verify="auto"
+    picks by the parquet-metadata corpus size against
+    BROADCAST_VERIFY_MAX_BYTES. Join and broadcast are pinned equal by
+    tests/test_textops.py."""
     import pyarrow.parquet as pq
     import ray
+
+    if verify == "auto":
+        verify = (
+            "broadcast"
+            if _docs_compressed_bytes(sf_dir) <= BROADCAST_VERIFY_MAX_BYTES
+            else "join"
+        )
 
     ds = _docs(sf_dir)
     sigs = ds.map_batches(
@@ -211,7 +238,9 @@ def q_near_dup_jaccard(sf_dir: str, verify: str = "broadcast"):
 
 def q_simhash_pairs(sf_dir: str):
     """Rows-only: SimHash near-dup pairs at Hamming distance ≤ 3 via 16-bit
-    block LSH (pigeonhole-complete for d≤3 with 4 blocks)."""
+    block LSH (pigeonhole-complete for d≤3 with 4 blocks). Pair emission per
+    coarse partition uses the same vectorized lexsort run-length kernel (and
+    hot-block df_cap) as the MinHash path — no nested Python pair loop."""
     ds = _docs(sf_dir)
     sigs = ds.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 4))
     blocks = sigs.map_batches(simhash_blocks, batch_format="pandas")
@@ -219,40 +248,27 @@ def q_simhash_pairs(sf_dir: str):
         lambda df: df.assign(part=(df["block_val"] % N_COARSE_PARTITIONS)),
         batch_format="pandas",
     )
-
-    def pairs_partition(part: pd.DataFrame) -> pd.DataFrame:
-        out = {"id_a": [], "id_b": [], "hamming": []}
-        for (_bid, _bv), g in part.groupby(["block_id", "block_val"], sort=False):
-            g = g.drop_duplicates("doc_id")
-            ids = g["doc_id"].to_numpy()
-            hs = g["simhash"].to_numpy()
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    d = hamming64(int(hs[i]), int(hs[j]))
-                    if d <= 3:
-                        a, b = sorted((int(ids[i]), int(ids[j])))
-                        out["id_a"].append(a)
-                        out["id_b"].append(b)
-                        out["hamming"].append(d)
-        return pd.DataFrame(out, dtype="int64").drop_duplicates(["id_a", "id_b"])
-
-    cand = blocks.groupby("part").map_groups(pairs_partition, batch_format="pandas")
+    cand = blocks.groupby("part").map_groups(
+        simhash_candidate_pairs_partition, batch_format="pandas"
+    )
     return dedupe_pairs(cand)
 
 
 def q_dedup_survivors_minhash(sf_dir: str):
     """Near-dup dedup policy: greedy keep-the-smaller-id — every doc that is
-    the larger member of any near-dup pair is dropped. Deterministic and
-    shuffle-light: the pair list (≪ corpus) is reduced on the driver."""
-    pairs = q_near_dup_jaccard(sf_dir).to_pandas()
-    import pyarrow.parquet as pq
+    the larger member of any near-dup pair is dropped. Fully distributed:
+    the corpus anti-joins the pair list's ``id_b`` side via the
+    co-partitioned hash join (stages/join.py) — no driver-side
+    materialization of either the corpus or the pair list."""
+    from ..stages.join import copartition_join
 
-    all_ids = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
-    )["doc_id"].to_pylist()
-    dropped = set(int(b) for b in pairs["id_b"])
-    keep = sorted(set(all_ids) - dropped)
-    return pa.Table.from_pydict({"doc_id": pa.array(keep, pa.int64())})
+    pairs = q_near_dup_jaccard(sf_dir)
+    dropped = pairs.map_batches(
+        lambda t: t.select(["id_b"]).rename_columns(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    docs = _docs(sf_dir, columns=("doc_id",))
+    return copartition_join(docs, dropped, on="doc_id", num_buckets=16, how="anti")
 
 
 # ---------------------------------------------------------------------------
@@ -265,8 +281,17 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_ann_topk_ivf(sf_dir: str):
-    """Rows-only: IVF-bucketed approximate top-k (nprobe=4 of 16 lists) —
-    the scale path; exactness at nprobe=C is pinned by a unit test."""
+    """IVF-bucketed top-k with ALL lists probed (nprobe = n_centroids):
+    exactly the brute-force result by construction, so it shares the ANN SQL
+    oracle. The assignment/probe machinery is identical to the approximate
+    path — only the probe budget differs."""
+    return ann_topk_ivf(sf_dir, n_queries=5, k=5, n_centroids=16, nprobe=16)
+
+
+def q_ann_topk_ivf_probe(sf_dir: str):
+    """Rows-only: the approximate scale path (nprobe=4 of 16 lists) — on a
+    cluster the list assignment becomes the partition key, so a probe reads
+    nprobe/C of the data; recall at small nprobe is bounded by a unit test."""
     return ann_topk_ivf(sf_dir, n_queries=5, k=5, n_centroids=16, nprobe=4)
 
 
@@ -288,37 +313,22 @@ def q_media_features(sf_dir: str):
 
 def q_media_near_dup(sf_dir: str):
     """Rows-only: the composed multimodal pipeline — binary payloads →
-    actor-pool decode (stub) → feature vectors → cosine near-dup. Planted
-    payload duplicates yield identical features (cos = 1). The comparison
-    matrix is collected once (small corpus) and broadcast; at lake scale the
-    LSH-bucketed path (near_dup_cosine_lsh) replaces the broadcast."""
-    import ray
-
-    from ..stages.embed import normalize_rows
+    actor-pool decode (stub) → feature vectors → LSH-bucketed cosine
+    near-dup (the scale path; nothing is collected driver-side). Planted
+    payload duplicates yield identical features, hence identical hyperplane
+    signatures — recall 1 for exact payload copies by construction."""
+    from ..stages.multimodal import FEATURE_DIM
 
     feats = media_features_ds(n=300, dup_rate=0.1)
-    df = feats.select_columns(["media_id", "feature"]).to_pandas()
-    ids = df["media_id"].to_numpy()
-    mat = normalize_rows(np.stack(df["feature"].to_numpy()).astype(np.float64))
-    ref = ray.put({"ids": ids, "mat": mat})
-
-    class Scorer:
-        def __init__(self):
-            a = ray.get(ref)
-            self.ids, self.mat = a["ids"], a["mat"]
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            m = normalize_rows(np.stack(b["feature"].to_numpy()).astype(np.float64))
-            cos = m @ self.mat.T
-            bi, aj = np.nonzero(cos >= 0.95)
-            ia, ib = b["media_id"].to_numpy()[bi], self.ids[aj]
-            keep = ia < ib
-            return pd.DataFrame(
-                {"id_a": ia[keep], "id_b": ib[keep],
-                 "cos_sim": np.round(cos[bi, aj][keep], 6)}
-            )
-
-    return feats.map_batches(Scorer, batch_format="pandas", concurrency=(1, 4))
+    feats = feats.select_columns(["media_id", "feature"])
+    return lsh_pairs(
+        feats,
+        id_col="media_id",
+        vec_col="feature",
+        threshold=0.95,
+        n_bits=8,
+        dim=FEATURE_DIM,
+    )
 
 
 QUERIES = {
@@ -333,15 +343,26 @@ QUERIES = {
     "dedup_survivors_minhash": q_dedup_survivors_minhash,
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "ann_topk_ivf_probe": q_ann_topk_ivf_probe,
     "near_dup_cosine": q_near_dup_cosine,
     "near_dup_cosine_lsh": q_near_dup_cosine_lsh,
     "media_features": q_media_features,
     "media_near_dup": q_media_near_dup,
 }
 
-_JACCARD_SQL = """
-WITH words AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+# Shared pair CTE, aligned with the Ray kernels on degenerate inputs
+# (ADVICE r01): word-less docs (empty / whitespace-only / NULL) never pair;
+# docs with 1-2 words contribute the whole doc as their single shingle
+# (mirrors _word_ngrams' fallback).
+_PAIRS_CTE = """
+stripped AS (
+  SELECT doc_id,
+         regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g') AS st
+  FROM documents
+),
+words AS (
+  SELECT doc_id, regexp_split_to_array(st, '\\s+') AS w
+  FROM stripped WHERE st <> ''
 ),
 idx AS (
   SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
@@ -349,6 +370,8 @@ idx AS (
 ),
 tri AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx
+  UNION
+  SELECT doc_id, array_to_string(w, ' ') AS g FROM words WHERE len(w) < 3
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tri GROUP BY doc_id),
 common AS (
@@ -356,6 +379,10 @@ common AS (
   FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
+"""
+
+_JACCARD_SQL = f"""
+WITH {_PAIRS_CTE}
 SELECT id_a, id_b,
        round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jaccard
 FROM common
@@ -364,23 +391,8 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.8
 """
 
-_SURVIVORS_SQL = """
-WITH words AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-),
-idx AS (
-  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
-  FROM words WHERE len(w) >= 3
-),
-tri AS (
-  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx
-),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tri GROUP BY doc_id),
-common AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-  FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
+_SURVIVORS_SQL = f"""
+WITH {_PAIRS_CTE},
 pairs AS (
   SELECT id_a, id_b FROM common
   JOIN sizes sa ON sa.doc_id = id_a
@@ -420,20 +432,33 @@ WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
 """
 
 ORACLE_SQL = {
+    # degenerate-input alignment (ADVICE r01): empty/whitespace-only text has
+    # 0 whitespace tokens (not 1), and NULL text hashes/counts as ''
+    # NOTE: trim() strips only spaces in DuckDB; the regexp strip matches
+    # Python str.split()'s any-whitespace semantics (tabs, newlines)
     "token_counts": (
+        "WITH t AS (SELECT doc_id, coalesce(text, '') AS text, "
+        "regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g') AS st "
+        "FROM documents) "
         "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
-        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens "
-        "FROM documents"
+        "CASE WHEN st = '' THEN 0 ELSE "
+        "CAST(len(regexp_split_to_array(st, '\\s+')) AS BIGINT) END"
+        " AS n_ws_tokens FROM t"
     ),
     "punct_stats": (
-        "SELECT doc_id, CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)"
-        " / greatest(length(text), 1) AS punct_ratio FROM documents"
+        "SELECT doc_id, CAST(length(regexp_replace(coalesce(text, ''), "
+        "'[^.!?,;:]', '', 'g')) AS DOUBLE)"
+        " / greatest(length(coalesce(text, '')), 1) AS punct_ratio FROM documents"
     ),
-    "fingerprint_md5": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+    "fingerprint_md5": (
+        "SELECT doc_id, md5(coalesce(text, '')) AS text_md5 FROM documents"
+    ),
     "near_dup_jaccard": _JACCARD_SQL,
     "dedup_survivors_minhash": _SURVIVORS_SQL,
     "ann_topk": _ANN_SQL,
+    "ann_topk_ivf": _ANN_SQL,  # nprobe = n_centroids ⇒ exact brute-force
     "near_dup_cosine": _COS_PAIRS_SQL,
     # quality_scores, lang_id, fingerprint_rolling, simhash_pairs,
-    # near_dup_cosine_lsh, media_features: rows-only by design.
+    # ann_topk_ivf_probe, near_dup_cosine_lsh, media_features,
+    # media_near_dup: rows-only by design (heuristic / approximate).
 }

@@ -254,9 +254,13 @@ def dedupe_pairs(ds):
 
 
 def exact_jaccard(text_a: str, text_b: str, ngram: int = 3) -> float:
+    """Word-n-gram Jaccard with short-doc fallback (whole doc = one shingle).
+
+    Docs with NO words (empty / whitespace-only / null) have an empty shingle
+    set and similarity 0 to everything INCLUDING each other — no-content docs
+    never near-dup-pair (exact dedup handles them); this matches the SQL
+    oracle, which excludes word-less docs from the pair CTE."""
     sa, sb = _word_ngrams(text_a or "", ngram), _word_ngrams(text_b or "", ngram)
-    if not sa and not sb:
-        return 1.0
     if not sa or not sb:
         return 0.0
     inter = len(sa & sb)
@@ -327,3 +331,70 @@ def simhash_blocks(batch: pd.DataFrame, n_blocks: int = 4) -> pd.DataFrame:
 
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def _popcount64(v: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR) — no Python per-element loop."""
+    v = v.astype(np.uint64, copy=True)
+    v -= (v >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    v = (v & np.uint64(0x3333333333333333)) + (
+        (v >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((v * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def simhash_candidate_pairs_partition(
+    group: pd.DataFrame, max_hamming: int = 3, df_cap: int = 200
+) -> pd.DataFrame:
+    """One coarse partition of (block_id, block_val, doc_id, simhash) rows →
+    unique (id_a < id_b, hamming) pairs with Hamming distance ≤ max_hamming.
+
+    Same fully-vectorized shape as ``candidate_pairs_partition``: lexsort by
+    (block_id, block_val, doc_id), find equal-block runs, gather all runs of
+    each length into (R, L) matrices, emit the upper triangle in one shot and
+    filter by a SWAR-vectorized popcount of the XORed signatures — no nested
+    Python pair loop. Blocks shared by more than ``df_cap`` docs are dropped
+    (hot-block cap, mirroring the MinHash path — log/record at scale)."""
+    empty = pd.DataFrame(
+        {"id_a": pd.Series([], dtype="int64"),
+         "id_b": pd.Series([], dtype="int64"),
+         "hamming": pd.Series([], dtype="int64")}
+    )
+    if len(group) == 0:
+        return empty
+    bid = group["block_id"].to_numpy(dtype=np.int64)
+    bv = group["block_val"].to_numpy(dtype=np.int64)
+    did = group["doc_id"].to_numpy(dtype=np.int64)
+    sh = group["simhash"].to_numpy(dtype=np.int64)
+    order = np.lexsort((did, bv, bid))
+    bid, bv, did, sh = bid[order], bv[order], did[order], sh[order]
+    new = np.empty(len(bid), dtype=bool)
+    new[0] = True
+    new[1:] = (bid[1:] != bid[:-1]) | (bv[1:] != bv[:-1])
+    starts = np.flatnonzero(new)
+    lengths = np.diff(np.append(starts, len(bid)))
+    out_a, out_b, out_h = [], [], []
+    for length in np.unique(lengths):
+        if length < 2 or length > df_cap:
+            continue
+        runs = starts[lengths == length]
+        idx = runs[:, None] + np.arange(length)[None, :]
+        ids_mat = did[idx]  # (R, L), doc-id-sorted within each run
+        sh_mat = sh[idx].view(np.uint64)
+        ia, ib = np.triu_indices(int(length), k=1)
+        d = _popcount64(sh_mat[:, ia] ^ sh_mat[:, ib]).ravel()
+        a, b = ids_mat[:, ia].ravel(), ids_mat[:, ib].ravel()
+        keep = d <= max_hamming
+        out_a.append(a[keep])
+        out_b.append(b[keep])
+        out_h.append(d[keep])
+    if not out_a:
+        return empty
+    return pd.DataFrame(
+        {
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "hamming": np.concatenate(out_h),
+        }
+    ).drop_duplicates(["id_a", "id_b"])

@@ -37,6 +37,54 @@ def normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / norm
 
 
+def read_lowest_vec_ids(path: str, n: int, columns=("vec_id", "embedding")) -> pa.Table:
+    """The n rows with the smallest ``vec_id``, reading only the row groups
+    that can contain them (parquet min-stats pruning) — O(n + row_group)
+    I/O, never the whole table. This is the bounded query-selection read for
+    the ANN demos: at lake scale the driver must not materialize the corpus
+    just to pick a handful of query vectors."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(path)
+    md = f.metadata
+    idx = md.schema.to_arrow_schema().get_field_index("vec_id")
+    mins = []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        mins.append(st.min if st is not None and st.has_min_max else None)
+    # groups ordered by min vec_id; stat-less groups last (forces a full
+    # read before early termination — conservative, never wrong)
+    order = sorted(range(md.num_row_groups), key=lambda i: (mins[i] is None, mins[i]))
+    tabs, have = [], 0
+    for pos, rg in enumerate(order):
+        tabs.append(f.read_row_group(rg, columns=list(columns)))
+        have += tabs[-1].num_rows
+        unread = order[pos + 1 :]
+        if have >= n and all(mins[j] is not None for j in unread):
+            t = pa.concat_tables(tabs).sort_by("vec_id").slice(0, n)
+            nxt = [mins[j] for j in unread]
+            if not nxt or t.column("vec_id")[-1].as_py() < min(nxt):
+                return t
+    return pa.concat_tables(tabs).sort_by("vec_id").slice(0, n)
+
+
+def read_prefix_rows(path: str, n: int, columns=("vec_id", "embedding")) -> pa.Table:
+    """A bounded streaming prefix read (``iter_batches`` stops after n rows).
+    Used for centroid seeding — any deterministic bounded sample works; a
+    k-means refinement or distributed reservoir sample would slot in here
+    without changing the pipeline shape."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(path)
+    tabs, have = [], 0
+    for b in f.iter_batches(batch_size=min(n, 4096), columns=list(columns)):
+        tabs.append(pa.Table.from_batches([b]))
+        have += b.num_rows
+        if have >= n:
+            break
+    return pa.concat_tables(tabs).slice(0, n)
+
+
 class BruteForceTopK:
     """Per-batch cosine top-k against a broadcast query matrix."""
 
@@ -73,16 +121,11 @@ def ann_topk(sf_dir: str, n_queries: int = 5, k: int = 5):
     done with a per-batch partial top-k + final exact top-k."""
     import os
 
-    import pyarrow.parquet as pq
     import ray
     import ray.data
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    qt = (
-        pq.read_table(path, columns=["vec_id", "embedding"])
-        .sort_by("vec_id")
-        .slice(0, n_queries)
-    )
+    qt = read_lowest_vec_ids(path, n_queries)
     query = {
         "qid": qt.column("vec_id").to_numpy(zero_copy_only=False),
         "matrix": table_to_matrix(qt),
@@ -157,25 +200,27 @@ def ann_topk_ivf(
 ):
     """IVF-bucketed approximate cosine top-k (the 100-TB scale path for S-ANN).
 
-    Centroids are a deterministic strided sample of the corpus (a k-means
-    refinement would slot in here unchanged); queries probe their ``nprobe``
-    nearest centroids. Everything small (queries, centroids, probe mask) is
-    broadcast once via ``ray.put``; the corpus streams through ``map_batches``.
+    Centroids are a deterministic strided sample of a BOUNDED corpus prefix
+    (a k-means refinement would slot in here unchanged); queries probe their
+    ``nprobe`` nearest centroids. Everything small (queries, centroids, probe
+    mask) is broadcast once via ``ray.put``; the corpus streams through
+    ``map_batches``. Driver I/O is O(queries + centroid-sample), never the
+    whole table.
     """
     import os
 
-    import pyarrow.parquet as pq
     import ray
     import ray.data
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    at = pq.read_table(path, columns=["vec_id", "embedding"]).sort_by("vec_id")
-    n = at.num_rows
-    stride = max(1, n // n_centroids)
-    cent_t = at.take(list(range(0, stride * n_centroids, stride))[:n_centroids])
+    sample = read_prefix_rows(path, max(1024, n_centroids * 16)).sort_by("vec_id")
+    stride = max(1, sample.num_rows // n_centroids)
+    cent_t = sample.take(
+        list(range(0, stride * n_centroids, stride))[:n_centroids]
+    )
     centroids = table_to_matrix(cent_t)
 
-    qt = at.slice(0, n_queries)
+    qt = read_lowest_vec_ids(path, n_queries)
     qm = normalize_rows(table_to_matrix(qt))
     cm = normalize_rows(centroids)
     qc = qm @ cm.T  # (nq, C)
@@ -272,42 +317,67 @@ def near_dup_pairs_cosine(sf_dir: str, threshold: float = 0.4):
 class HyperplaneBucketer:
     """Random-hyperplane LSH signatures (the scale path for near-dup)."""
 
-    def __init__(self, dim: int = 64, n_bits: int = 12, seed: int = 11):
+    def __init__(self, dim: int = 64, n_bits: int = 12, seed: int = 11,
+                 vec_col: str = "embedding"):
         rng = np.random.default_rng(seed)
         self.planes = rng.standard_normal((dim, n_bits))
         self.weights = (1 << np.arange(n_bits)).astype(np.int64)
+        self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = table_to_matrix(batch)
+        m = table_to_matrix(batch, col=self.vec_col)
         bits = (m @ self.planes) > 0
         bucket = bits.astype(np.int64) @ self.weights
         return batch.append_column("lsh_bucket", pa.array(bucket))
 
 
-def near_dup_pairs_lsh(sf_dir: str, threshold: float = 0.4, n_bits: int = 8):
-    """Approximate near-dup: hyperplane-bucket groupby, exact cosine within
-    each bucket. Recall < 1 by design (report as the scale path)."""
-    import os
-
-    import ray.data
-
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+def lsh_pairs(
+    ds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_bits: int = 8,
+    dim: int = 64,
+    bucket_cap: int = 4096,
+):
+    """Hyperplane-bucket groupby + exact cosine within each bucket over any
+    Dataset with an id column and a fixed-width vector column. Recall < 1 by
+    design (identical vectors always share every bucket, so exact duplicates
+    have recall 1). Buckets larger than ``bucket_cap`` are truncated — the
+    hot-bucket cap that bounds the O(f²) within-bucket matmul at lake scale
+    (log/record what was dropped in production)."""
     ds = ds.map_batches(
         HyperplaneBucketer,
-        fn_constructor_kwargs={"n_bits": n_bits},
+        fn_constructor_kwargs={"n_bits": n_bits, "dim": dim, "vec_col": vec_col},
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=(1, 4),
     )
 
     def within_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["vec_id"].to_numpy()
-        m = normalize_rows(np.stack(g["embedding"].to_numpy()))
+        if len(g) > bucket_cap:
+            g = g.iloc[:bucket_cap]
+        ids = g[id_col].to_numpy()
+        m = normalize_rows(np.stack(g[vec_col].to_numpy()).astype(np.float64))
         cos = m @ m.T
         ia, ib = np.nonzero(np.triu(cos >= threshold, k=1))
+        ja, jb = ids[ia], ids[ib]
+        swap = ja > jb
+        ja[swap], jb[swap] = jb[swap], ja[swap]
         return pd.DataFrame(
-            {"id_a": ids[ia], "id_b": ids[ib], "cos_sim": np.round(cos[ia, ib], 6)}
+            {"id_a": ja, "id_b": jb, "cos_sim": np.round(cos[ia, ib], 6)}
         )
 
     return ds.groupby("lsh_bucket").map_groups(within_bucket, batch_format="pandas")
+
+
+def near_dup_pairs_lsh(sf_dir: str, threshold: float = 0.4, n_bits: int = 8):
+    """Approximate near-dup over the embeddings table: hyperplane-bucket
+    groupby, exact cosine within each bucket (see ``lsh_pairs``)."""
+    import os
+
+    import ray.data
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    return lsh_pairs(ds, threshold=threshold, n_bits=n_bits)

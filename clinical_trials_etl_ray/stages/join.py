@@ -30,8 +30,15 @@ from ..functions.hashing import bucket_ids
 
 
 def _key_buckets(table: pa.Table, keys: list, num_buckets: int) -> np.ndarray:
+    """Bucket ids from key columns ALREADY cast to the join's unified key
+    types (both sides hash identical representations — see ``tag``). Null
+    keys get an arbitrary deterministic bucket; they are separated out per
+    SQL semantics inside ``merge_bucket``, so their routing never affects
+    results."""
+    import pyarrow.compute as pc
+
     if len(keys) == 1 and pa.types.is_integer(table.schema.field(keys[0]).type):
-        v = table.column(keys[0]).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(table.column(keys[0]), 0).to_numpy(zero_copy_only=False)
         return ((v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)).astype(
             np.int64
         ) % num_buckets
@@ -106,6 +113,9 @@ def copartition_join(
             batch_size=batch_size,
         )
 
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unsupported how={how!r}")
+
     l_schema = _arrow_schema(left)
     r_schema = _arrow_schema(right)
     l_names = list(l_schema.names)
@@ -116,25 +126,55 @@ def copartition_join(
     if overlap:
         raise ValueError(f"non-key columns overlap: {sorted(overlap)}")
 
+    # Key columns take the LEFT side's type in the unified schema; the right
+    # side is cast to it in tag() BEFORE bucketing, so both sides hash the
+    # same representation (an int64 key chained through a null-filling join
+    # that upcast it to float64 still buckets with its int64 partner). An
+    # incompatible pair fails loudly instead of silently dropping matches.
     unified = pa.schema(
         [l_schema.field(n) for n in l_names]
         + [r_schema.field(n) for n in r_only]
         + [pa.field("__side", pa.int8()), pa.field("__bucket", pa.int64())]
     )
+    for k in on_cols:
+        lt, rt = l_schema.field(k).type, r_schema.field(k).type
+        if lt != rt and not (
+            (pa.types.is_integer(lt) or pa.types.is_floating(lt))
+            and (pa.types.is_integer(rt) or pa.types.is_floating(rt))
+        ) and not (pa.types.is_string(lt) and pa.types.is_string(rt)):
+            raise TypeError(
+                f"join key {k!r} types not cast-compatible: {lt} vs {rt}"
+            )
 
     def tag(side: int):
         def fn(t: pa.Table) -> pa.Table:
-            arrays = []
+            arrays = {}
             for f in unified:
                 if f.name == "__side":
-                    arrays.append(pa.array(np.full(t.num_rows, side, dtype=np.int8)))
+                    arrays[f.name] = pa.array(
+                        np.full(t.num_rows, side, dtype=np.int8)
+                    )
                 elif f.name == "__bucket":
-                    arrays.append(pa.array(_key_buckets(t, on_cols, num_buckets)))
+                    continue  # computed below from the CASTED key columns
                 elif f.name in t.column_names:
-                    arrays.append(t.column(f.name).cast(f.type))
+                    try:
+                        arrays[f.name] = t.column(f.name).cast(f.type)
+                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as e:
+                        raise TypeError(
+                            f"join key/column {f.name!r} not losslessly "
+                            f"castable to {f.type}: {e}"
+                        ) from e
                 else:
-                    arrays.append(pa.nulls(t.num_rows, f.type))
-            return pa.Table.from_arrays(arrays, schema=unified)
+                    arrays[f.name] = pa.nulls(t.num_rows, f.type)
+            key_tbl = pa.Table.from_arrays(
+                [arrays[k] for k in on_cols], names=on_cols
+            )
+            arrays["__bucket"] = pa.array(
+                _key_buckets(key_tbl, on_cols, num_buckets)
+            )
+            return pa.Table.from_arrays(
+                [arrays[f.name] for f in unified], schema=unified
+            )
 
         return fn
 
@@ -160,12 +200,23 @@ def copartition_join(
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lf = _restore_ints(g[g["__side"] == 0][on_cols + l_only])
         rf = _restore_ints(g[g["__side"] == 1][on_cols + r_only])
+        # SQL null semantics: NULL never equals NULL (pandas merge would
+        # match NaN keys). Null-keyed build rows never match anything; null-
+        # keyed probe rows are dropped for inner/semi and KEPT unmatched for
+        # left/anti (NOT-EXISTS semantics).
+        l_null_mask = lf[on_cols].isna().any(axis=1)
+        lf_null = lf[l_null_mask]
+        lf = lf[~l_null_mask]
+        rf = rf[~rf[on_cols].isna().any(axis=1)]
         if how in ("semi", "anti"):
             keys = rf[on_cols].drop_duplicates()
             m = lf.merge(keys, on=on_cols, how="left", indicator=True)
             want = "both" if how == "semi" else "left_only"
-            return m[m["_merge"] == want].drop(columns="_merge")
+            out = m[m["_merge"] == want].drop(columns="_merge")
+            return pd.concat([out, lf_null]) if how == "anti" and len(lf_null) else out
         out = lf.merge(rf, on=on_cols, how=how)
+        if how == "left" and len(lf_null):
+            out = pd.concat([out, lf_null.reindex(columns=out.columns)])
         return out
 
     return tagged.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")

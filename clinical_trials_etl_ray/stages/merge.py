@@ -71,8 +71,22 @@ _STATS_SCHEMA = pa.schema(
         pa.field("row_count", pa.int64()),
         pa.field("min_lsn", pa.int64()),
         pa.field("max_lsn", pa.int64()),
+        # per-file conv_id min/max — the manifest-level "secondary index"
+        # that lets non-LSN predicates prune files without opening them
+        # (reference analog: secondary indexes, mongodb_storage.py:94-134)
+        pa.field("conv_min", pa.string()),
+        pa.field("conv_max", pa.string()),
+        # ingest observability: rows that reached this writer vs rows
+        # filtered as already-applied (≤ committed bucket watermark)
+        pa.field("rows_in", pa.int64()),
+        pa.field("stale_skipped", pa.int64()),
     ]
 )
+
+
+def _conv_minmax(t: pa.Table) -> tuple[str | None, str | None]:
+    mm = pc.min_max(t["conv_id"]).as_py()
+    return mm["min"], mm["max"]
 
 
 def _write_immutable(table: pa.Table, directory: str, name: str) -> str:
@@ -101,13 +115,28 @@ def make_bucket_merge_fn(lake_dir: str, watermarks: dict):
             return _STATS_SCHEMA.empty_table()
         bucket = group["bucket"][0].as_py()
         wm = watermarks.get(bucket, watermarks.get(str(bucket), -1))
+        rows_in = group.num_rows
         t = group.filter(pc.greater(group["lsn"], wm))
+        stale = rows_in - t.num_rows
         if t.num_rows == 0:
-            return _STATS_SCHEMA.empty_table()
+            out = _STATS_SCHEMA.empty_table()
+            if stale == 0:
+                return out
+            return pa.Table.from_pydict(
+                {
+                    "bucket": [bucket], "path": [None], "kind": ["noop"],
+                    "content_hash": [None], "row_count": [0],
+                    "min_lsn": [-1], "max_lsn": [-1],
+                    "conv_min": [None], "conv_max": [None],
+                    "rows_in": [rows_in], "stale_skipped": [stale],
+                },
+                schema=_STATS_SCHEMA,
+            )
         t = lww_winners(t).drop_columns(["bucket"])
         h = content_hash(t)
         path = _write_immutable(t, bucket_dir(lake_dir, bucket), f"delta-{h}.parquet")
         rel = os.path.relpath(path, lake_dir)
+        cmin, cmax = _conv_minmax(t)
         return pa.Table.from_pydict(
             {
                 "bucket": [bucket],
@@ -117,6 +146,10 @@ def make_bucket_merge_fn(lake_dir: str, watermarks: dict):
                 "row_count": [t.num_rows],
                 "min_lsn": [pc.min(t["lsn"]).as_py()],
                 "max_lsn": [pc.max(t["lsn"]).as_py()],
+                "conv_min": [cmin],
+                "conv_max": [cmax],
+                "rows_in": [rows_in],
+                "stale_skipped": [stale],
             },
             schema=_STATS_SCHEMA,
         )
@@ -154,15 +187,26 @@ def make_direct_delta_writer(lake_dir: str, watermarks: dict):
             lo, hi = int(bounds[i]), int(bounds[i + 1])
             bucket = int(bs[lo])
             sub = t_sorted.slice(lo, hi - lo)
+            rows_in = sub.num_rows
             wm = watermarks.get(bucket, watermarks.get(str(bucket), -1))
             sub = sub.filter(pc.greater(sub["lsn"], wm))
+            stale = rows_in - sub.num_rows
             if sub.num_rows == 0:
+                if stale:
+                    out.append(
+                        {"bucket": bucket, "path": None, "kind": "noop",
+                         "content_hash": None, "row_count": 0,
+                         "min_lsn": -1, "max_lsn": -1,
+                         "conv_min": None, "conv_max": None,
+                         "rows_in": rows_in, "stale_skipped": stale}
+                    )
                 continue
             sub = sub.drop_columns(["bucket"])
             h = content_hash(sub)
             path = _write_immutable(
                 sub, bucket_dir(lake_dir, bucket), f"delta-{h}.parquet"
             )
+            cmin, cmax = _conv_minmax(sub)
             out.append(
                 {
                     "bucket": bucket,
@@ -172,6 +216,10 @@ def make_direct_delta_writer(lake_dir: str, watermarks: dict):
                     "row_count": sub.num_rows,
                     "min_lsn": pc.min(sub["lsn"]).as_py(),
                     "max_lsn": pc.max(sub["lsn"]).as_py(),
+                    "conv_min": cmin,
+                    "conv_max": cmax,
+                    "rows_in": rows_in,
+                    "stale_skipped": stale,
                 }
             )
         if not out:
@@ -187,13 +235,25 @@ def make_direct_delta_writer(lake_dir: str, watermarks: dict):
 
 
 def resolve_bucket(
-    lake_dir: str, bucket: int, files: list, as_of_lsn: int | None = None
+    lake_dir: str,
+    bucket: int,
+    files: list,
+    as_of_lsn: int | None = None,
+    conv_range: tuple | None = None,
 ) -> pa.Table:
     """Read one bucket's base+delta files and resolve LWW winners.
 
     Returns full event-payload rows (incl. op/lsn) — tombstones still present.
     Schema evolution across file generations is handled by unifying every
     file onto EVENT_SCHEMA (null-fill for files written pre-`tool`).
+
+    ``conv_range=(lo, hi)`` (inclusive, either end None-able) prunes files
+    whose manifest conv_id min/max cannot overlap the predicate BEFORE any
+    read — safe because every version of a key lives in this bucket and a
+    pruned file contains no rows for the surviving keys, so LWW winners are
+    unaffected. Files without recorded stats (older manifests) are always
+    read. Rows are NOT filtered here: LWW must resolve on the full kept-file
+    contents; the caller filters post-LWW.
 
     ``as_of_lsn`` gives time travel: files are pruned by their manifest
     ``min_lsn`` (no read) and rows filtered to ``lsn <= as_of_lsn`` before
@@ -213,6 +273,16 @@ def resolve_bucket(
     lake."""
     if as_of_lsn is not None:
         files = [f for f in files if f.get("min_lsn", 0) <= as_of_lsn]
+    if conv_range is not None:
+        lo, hi = conv_range
+        files = [
+            f
+            for f in files
+            if f.get("conv_min") is None
+            or f.get("conv_max") is None
+            or ((lo is None or f["conv_max"] >= lo)
+                and (hi is None or f["conv_min"] <= hi))
+        ]
     if not files:
         return EVENT_SCHEMA.empty_table()
 
@@ -238,11 +308,28 @@ def live_rows(resolved: pa.Table) -> pa.Table:
     return t.select(TRANSCRIPT_SCHEMA.names)
 
 
+def candidate_buckets(
+    conv_id: str, num_buckets: int, salt_factor: int = 1
+) -> list:
+    """The (at most ``salt_factor``) buckets that can hold a conv_id's turns
+    — the point-lookup prune derived from the salted routing function."""
+    from ..functions.hashing import hash_strings
+
+    h = int(hash_strings([conv_id])[0])
+    if salt_factor <= 1:
+        return [h % num_buckets]
+    return sorted({(h * salt_factor + s) % num_buckets for s in range(salt_factor)})
+
+
 def read_final_table(
     lake_dir: str,
     concurrency: int | None = None,
     as_of_lsn: int | None = None,
     version: int | None = None,
+    conv_id: str | None = None,
+    conv_range: tuple | None = None,
+    ts_min=None,
+    ts_max=None,
 ):
     """Ray Dataset of the committed lake state (transcript schema).
 
@@ -250,10 +337,20 @@ def read_final_table(
     hash-partitioned on conv_id); each task reads only its bucket's files.
     The tiny driver-side input is just (bucket, files) descriptors.
 
-    Time travel: ``version`` reads an older manifest snapshot (exact as long
-    as its files haven't been cleaned); ``as_of_lsn`` reconstructs the state
-    as of an LSN (exact at committed chunk watermarks — see
-    ``resolve_bucket``). The two compose."""
+    Predicate pushdown (the secondary-index analog, reference:
+    mongodb_storage.py:94-134):
+      - ``conv_id`` prunes to the key's ``salt_factor`` candidate BUCKETS
+        (hash routing), then to files overlapping it (manifest stats);
+      - ``conv_range=(lo, hi)`` prunes FILES by per-file conv_id min/max
+        recorded in the manifest (compaction sorts each bucket by
+        (conv_id, turn_idx), so post-compaction ranges are tight);
+      - ``ts_min``/``ts_max`` filter ROWS post-LWW only — a file-level ts
+        prune would be unsound, because the LWW winner for a key can live in
+        any file regardless of its ts range.
+    Time travel: ``version`` reads an older manifest snapshot (retained —
+    see Manifest.cleanup_orphans); ``as_of_lsn`` reconstructs the state as
+    of an LSN (exact at committed chunk watermarks — see
+    ``resolve_bucket``). All options compose."""
     import ray.data
 
     from ..state.manifest import Manifest
@@ -261,10 +358,15 @@ def read_final_table(
     man = Manifest.load(lake_dir) if version is None else Manifest.load_version(
         lake_dir, version
     )
+    if conv_id is not None:
+        conv_range = (conv_id, conv_id)
+        allowed = set(candidate_buckets(conv_id, man.num_buckets, man.salt_factor))
+    else:
+        allowed = None
     items = [
         {"bucket": b, "lake_dir": lake_dir}
         for b in range(man.num_buckets)
-        if man.files_for_bucket(b)
+        if man.files_for_bucket(b) and (allowed is None or b in allowed)
     ]
     if not items:
         return ray.data.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
@@ -278,8 +380,20 @@ def read_final_table(
                 row["bucket"],
                 files_by_bucket[row["bucket"]],
                 as_of_lsn=as_of_lsn,
+                conv_range=conv_range,
             )
-            out.append(live_rows(resolved))
+            t = live_rows(resolved)
+            if conv_range is not None:
+                lo, hi = conv_range
+                if lo is not None:
+                    t = t.filter(pc.greater_equal(t["conv_id"], lo))
+                if hi is not None:
+                    t = t.filter(pc.less_equal(t["conv_id"], hi))
+            if ts_min is not None:
+                t = t.filter(pc.greater_equal(t["ts"], ts_min))
+            if ts_max is not None:
+                t = t.filter(pc.less_equal(t["ts"], ts_max))
+            out.append(t)
         return pa.concat_tables(out) if out else TRANSCRIPT_SCHEMA.empty_table()
 
     ds = ray.data.from_items(items, override_num_blocks=len(items))
@@ -313,8 +427,18 @@ def compact_bucket(
             resolved = resolved.filter(keep)
     if resolved.num_rows == 0:
         return None
+    # sort-within-file on (conv_id, turn_idx): tightens the manifest's
+    # per-file conv stats and gives parquet page-level locality for key
+    # scans — the clustered half of the secondary-index analog
+    resolved = resolved.take(
+        pc.sort_indices(
+            resolved,
+            sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")],
+        )
+    )
     h = content_hash(resolved)
     path = _write_immutable(resolved, bucket_dir(lake_dir, bucket), f"base-{h}.parquet")
+    cmin, cmax = _conv_minmax(resolved)
     return {
         "path": os.path.relpath(path, lake_dir),
         "kind": "base",
@@ -322,4 +446,6 @@ def compact_bucket(
         "row_count": resolved.num_rows,
         "min_lsn": pc.min(resolved["lsn"]).as_py(),
         "max_lsn": pc.max(resolved["lsn"]).as_py(),
+        "conv_min": cmin,
+        "conv_max": cmax,
     }

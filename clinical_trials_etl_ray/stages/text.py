@@ -38,10 +38,10 @@ class TokenCounter:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         text = batch["text"].fillna("")
         batch["n_chars"] = text.str.len().astype("int64")
-        batch["n_ws_tokens"] = text.str.split(r"\s+", regex=True).map(
-            lambda t: sum(1 for x in t if x)
-        ).astype("int64")
-        batch["n_bpe_tokens"] = text.str.findall(self.bpe_ish).str.len().astype("int64")
+        # count of non-whitespace runs == whitespace-token count (0 for
+        # empty/whitespace-only text), fully vectorized
+        batch["n_ws_tokens"] = text.str.count(r"\S+").astype("int64")
+        batch["n_bpe_tokens"] = text.str.count(self.bpe_ish.pattern).astype("int64")
         return batch
 
 
@@ -53,22 +53,27 @@ class QualityScorer:
         self.word = re.compile(r"[a-zA-Z]+")
         self.punct = re.compile(r"[.!?,;:]")
         self.stop = _STOPWORDS["en"]
+        # one alternation regex counts stopword TOKENS vectorized (a token is
+        # a maximal [a-zA-Z]+ run, so (?<![a-zA-Z])/(?![a-zA-Z]) bound it)
+        alt = "|".join(sorted(self.stop, key=len, reverse=True))
+        self.stop_re = rf"(?<![a-zA-Z])(?:{alt})(?![a-zA-Z])"
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         text = batch["text"].fillna("")
         n = text.str.len().clip(lower=1)
         batch["punct_ratio"] = text.str.count(self.punct.pattern) / n
-        words = text.str.findall(self.word)
-        n_words = words.str.len().clip(lower=1)
-        batch["stopword_ratio"] = words.map(
-            lambda ws: sum(1 for w in ws if w.lower() in self.stop)
-        ) / n_words
-        batch["mean_word_len"] = words.map(
-            lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0
+        word_runs = text.str.count(self.word.pattern)
+        n_words = word_runs.clip(lower=1)
+        batch["stopword_ratio"] = (
+            text.str.lower().str.count(self.stop_re) / n_words
+        )
+        # mean word length == (total letters) / (word count), both vectorized
+        batch["mean_word_len"] = np.where(
+            word_runs > 0, text.str.count(r"[a-zA-Z]") / n_words, 0.0
         )
         batch["upper_ratio"] = text.str.count(r"[A-Z]") / n
         batch["quality_ok"] = (
-            (batch["n_chars"] if "n_chars" in batch else n) .ge(20)
+            (batch["n_chars"] if "n_chars" in batch else n).ge(20)
             & batch["mean_word_len"].between(2.0, 12.0)
         )
         return batch
@@ -80,25 +85,35 @@ class LangId:
     A pure-Python n-gram heuristic (no external models are available in this
     environment); returns the argmax language and its score margin."""
 
-    def __init__(self):
-        self.profiles = {
-            lang: {f" {w} " for w in words} for lang, words in _STOPWORDS.items()
-        }
-        self.token = re.compile(r"[a-zà-ÿäöüß]+")
+    TOKEN_CLASS = "a-zà-ÿäöüß"
 
-    def _score(self, text: str) -> tuple:
-        toks = set(self.token.findall(text.lower()))
-        best_lang, best = "unknown", 0.0
-        for lang, words in _STOPWORDS.items():
-            s = len(toks & words) / max(1, len(words))
-            if s > best:
-                best_lang, best = lang, s
-        return best_lang, best
+    def __init__(self):
+        # one boundary-anchored regex per stopword: a vectorized str.contains
+        # per word replaces the per-row tokenize + set intersection (the
+        # score is DISTINCT-membership, so contains() is exact)
+        self.word_res = {
+            lang: [
+                rf"(?<![{self.TOKEN_CLASS}]){re.escape(w)}(?![{self.TOKEN_CLASS}])"
+                for w in sorted(words)
+            ]
+            for lang, words in _STOPWORDS.items()
+        }
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        scored = batch["text"].fillna("").map(self._score)
-        batch["lang_pred"] = scored.str[0]
-        batch["lang_score"] = scored.str[1]
+        low = batch["text"].fillna("").str.lower()
+        langs = list(_STOPWORDS)
+        scores = np.zeros((len(batch), len(langs)))
+        for j, lang in enumerate(langs):
+            hits = np.zeros(len(batch))
+            for pat in self.word_res[lang]:
+                hits += low.str.contains(pat, regex=True).to_numpy()
+            scores[:, j] = hits / len(_STOPWORDS[lang])
+        best = scores.max(axis=1)
+        arg = scores.argmax(axis=1)
+        batch["lang_pred"] = np.where(
+            best > 0, np.array(langs, dtype=object)[arg], "unknown"
+        )
+        batch["lang_score"] = best
         return batch
 
 
@@ -124,19 +139,18 @@ class Fingerprinter:
         w = self.WINDOW
         if len(b) < w:
             h = np.uint64(0)
-            for x in b:
+            for x in b:  # < WINDOW iterations
                 h = h * self.BASE + x
             return [int(h)] * self.n_keep
-        # vectorized rolling hash: prefix "powers" trick
+        # vectorized: the rolling recurrence equals the direct polynomial
+        # h_i = sum_j b[i+j]*BASE^(w-1-j) (mod 2^64), computed as w shifted
+        # vector adds — no O(len) Python loop
         n = len(b) - w + 1
         hashes = np.zeros(n, dtype=np.uint64)
-        h = np.uint64(0)
-        for x in b[:w]:
-            h = h * self.BASE + x
-        hashes[0] = h
-        for i in range(1, n):  # O(len) scalar loop, but cheap uint ops
-            h = (h - b[i - 1] * self.pow_w) * self.BASE + b[i + w - 1]
-            hashes[i] = h
+        p = np.uint64(1)
+        for j in range(w - 1, -1, -1):  # w=16 vectorized passes
+            hashes += b[j : j + n] * p
+            p = p * self.BASE
         return sorted(np.unique(hashes)[: self.n_keep].tolist())
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:

@@ -225,9 +225,37 @@ class Manifest:
 
     # ---------- maintenance ----------
 
-    def cleanup_orphans(self) -> list:
-        """Delete staged data files not referenced by this manifest version."""
-        referenced = self.all_files()
+    def _retained_versions(self) -> list:
+        """Version numbers of every manifest snapshot still on disk."""
+        mdir = os.path.join(self.lake_dir, MANIFEST_DIR)
+        out = []
+        for name in os.listdir(mdir):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    out.append(int(name[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def cleanup_orphans(self, all_versions: bool = True) -> list:
+        """Delete staged data files referenced by NO manifest snapshot.
+
+        ``all_versions=True`` (default) keeps any file referenced by ANY
+        manifest JSON still on disk, so ``load_version`` time travel keeps
+        working after compaction; a crash's half-staged files (referenced by
+        nothing) are still collected. Retire old snapshots (and THEN their
+        now-unreferenced files) explicitly via ``expire_versions``.
+        ``all_versions=False`` is the aggressive mode: only the current
+        version's files survive — time travel to older versions breaks."""
+        referenced = set(self.all_files())
+        if all_versions:
+            for v in self._retained_versions():
+                if v == self.version:
+                    continue
+                try:
+                    referenced |= Manifest.load_version(self.lake_dir, v).all_files()
+                except (OSError, ValueError):
+                    continue
         removed = []
         data_root = os.path.join(self.lake_dir, DATA_DIR)
         for dirpath, _dirs, files in os.walk(data_root):
@@ -238,3 +266,17 @@ class Manifest:
                     os.remove(full)
                     removed.append(rel)
         return removed
+
+    def expire_versions(self, keep_last: int = 2) -> list:
+        """Delete manifest snapshots older than the newest ``keep_last``,
+        then collect data files no surviving snapshot references. This is
+        the explicit retention knob: time travel works for every retained
+        version, and storage is reclaimed only when a version is expired
+        together with its exclusively-owned files."""
+        versions = self._retained_versions()
+        expired = [v for v in versions[:-keep_last] if v != self.version]
+        mdir = os.path.join(self.lake_dir, MANIFEST_DIR)
+        for v in expired:
+            os.remove(os.path.join(mdir, f"v{v:06d}.json"))
+        self.cleanup_orphans(all_versions=True)
+        return expired

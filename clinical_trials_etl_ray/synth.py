@@ -214,9 +214,17 @@ def write_binlog_shards(
     slice). ``parallel=None`` auto-enables when Ray is up and the log is
     big enough to matter.
     """
+    import json
+
     import ray
 
     os.makedirs(out_dir, exist_ok=True)
+    # Persist the producer's out-of-order bound next to the shards: replay
+    # reads it when the caller doesn't pass an explicit disorder_bound, so a
+    # follow-mode tail can never silently commit a watermark past events a
+    # late shard will still deliver (ADVICE r01).
+    with open(os.path.join(out_dir, "_meta.json"), "w") as f:
+        json.dump({"disorder_bound": int(spec.shuffle_window)}, f)
     if parallel is None:
         parallel = (
             ray.is_initialized() and spec.n_events >= 1_000_000 and n_shards > 1
