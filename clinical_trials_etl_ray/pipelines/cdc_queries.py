@@ -259,12 +259,59 @@ SELECT * FROM final WHERE conv_id >= 'c1' AND conv_id <= 'c2'
 """
 
 
+def q_validate_events(sf_dir: str):
+    """Per-row validation verdicts over the derived binlog — (lsn, valid,
+    n_issues), SQL-checkable; the full issue lists + quarantine split are
+    the stages/validate.py operators (V4 analog, validator.py:151-216).
+    Registered beyond the driver's 50-query window; the oracle comparison
+    runs in pytest (test_cdc_queries) instead."""
+    from ..stages.validate import validate_events
+
+    v = validate_events(derived_binlog_ds(sf_dir))
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                t["lsn"],
+                t["valid"],
+                pc.cast(pc.list_value_length(t["issues"]), pa.int64()),
+            ],
+            names=["lsn", "valid", "n_issues"],
+        )
+
+    return v.map_batches(project, batch_format="pyarrow")
+
+
+SQL_VALIDATE_EVENTS = f"""
+WITH binlog AS ({BINLOG_CTE}),
+flags AS (
+  SELECT lsn,
+    (conv_id IS NULL) AS f1,
+    (turn_idx IS NULL) AS f2,
+    coalesce(turn_idx < 0, FALSE) AS f3,
+    (coalesce(op, '') NOT IN ('insert', 'update', 'delete')) AS f4,
+    (ts IS NULL) AS f5,
+    (role IS NULL AND coalesce(op, '') <> 'delete') AS f6,
+    (regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g') = ''
+       AND coalesce(op, '') <> 'delete') AS f7
+  FROM binlog
+)
+SELECT lsn,
+  NOT (f1 OR f2 OR f3 OR f4 OR f5 OR f6 OR f7) AS valid,
+  CAST(f1 AS BIGINT) + CAST(f2 AS BIGINT) + CAST(f3 AS BIGINT)
+  + CAST(f4 AS BIGINT) + CAST(f5 AS BIGINT) + CAST(f6 AS BIGINT)
+  + CAST(f7 AS BIGINT) AS n_issues
+FROM flags
+"""
+
+
 QUERIES = {
     "cdc_binlog_derive": q_cdc_binlog_derive,
     "cdc_lww_winners": q_cdc_lww_winners,
     "cdc_replay_final": q_cdc_replay_final,
     "cdc_final_by_role": q_cdc_final_by_role,
     "cdc_final_conv_filter": q_cdc_final_conv_filter,
+    "validate_events": q_validate_events,
 }
 
 ORACLE_SQL = {
@@ -273,4 +320,5 @@ ORACLE_SQL = {
     "cdc_replay_final": SQL_FINAL,
     "cdc_final_by_role": SQL_FINAL_BY_ROLE,
     "cdc_final_conv_filter": SQL_FINAL_CONV_FILTER,
+    "validate_events": SQL_VALIDATE_EVENTS,
 }

@@ -171,6 +171,15 @@ def replay(
     if disorder_bound is None:
         disorder_bound = producer_disorder_bound(binlog) or 0
 
+    # Additive schema evolution: the run's canonical schema is EVENT_SCHEMA
+    # plus every extra column any shard declares (nested struct/list payload
+    # columns included) — a metadata-only scan, no data read.
+    from ..schema import union_event_schema
+
+    target_schema = union_event_schema(
+        [pq.read_schema(p) for p in shard_paths]
+    )
+
     man = Manifest.load_or_create(lake_dir, num_buckets, salt_factor=hot_key_salt)
     report = ReplayReport()
     chunks = plan_chunks(shard_paths, files_per_chunk, disorder_bound)
@@ -207,6 +216,7 @@ def replay(
                 "num_buckets": num_buckets,
                 "min_lsn_exclusive": -1,
                 "salt_factor": man.salt_factor,
+                "target_schema": target_schema,
             },
         )
         ds = ds.map_batches(dedupe_batch, batch_format="pyarrow", batch_size=batch_size)
@@ -239,7 +249,7 @@ def replay(
         man = man.commit(
             new_files,
             new_watermark_lsn=max(commit_wm, wm_global),
-            schema_names=["lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"],
+            schema_names=list(target_schema.names),
             metrics={
                 "chunk_max_lsn": chunk_max_lsn,
                 "events_read": chunk_rows,

@@ -58,6 +58,27 @@ PAYLOAD_COLUMNS = ["role", "text", "tool"]
 OPS = ("insert", "update", "delete")
 
 
+def unify_to_schema(table: pa.Table, target: pa.Schema) -> pa.Table:
+    """Project ``table`` onto ``target``, null-filling absent columns.
+
+    Additive schema evolution for ANY Arrow type including nested
+    struct/list/map payload columns (SURVEY §1.2 maps the reference's
+    4-level nested documents, trials_extractor/extractors/locations.py:
+    114-130, to nested Arrow columns): a shard written before a column
+    existed gains an all-null column of the target type; same-name columns
+    are cast (raises on lossy casts rather than corrupting)."""
+    arrays = []
+    for field in target:
+        if field.name in table.column_names:
+            col = table.column(field.name)
+            if col.type != field.type:
+                col = col.cast(field.type)
+            arrays.append(col)
+        else:
+            arrays.append(pa.nulls(table.num_rows, field.type))
+    return pa.Table.from_arrays(arrays, schema=target)
+
+
 def unify_to_event_schema(table: pa.Table) -> pa.Table:
     """Project ``table`` onto EVENT_SCHEMA, null-filling absent columns.
 
@@ -66,13 +87,26 @@ def unify_to_event_schema(table: pa.Table) -> pa.Table:
     trials_extractor/processors/cleaner.py:92-125 — we keep nulls instead of
     dropping keys, so every block shares one unified schema).
     """
-    arrays = []
-    for field in EVENT_SCHEMA:
-        if field.name in table.column_names:
-            col = table.column(field.name)
-            if col.type != field.type:
-                col = col.cast(field.type)
-            arrays.append(col)
-        else:
-            arrays.append(pa.nulls(table.num_rows, field.type))
-    return pa.Table.from_arrays(arrays, schema=EVENT_SCHEMA)
+    return unify_to_schema(table, EVENT_SCHEMA)
+
+
+def union_event_schema(schemas) -> pa.Schema:
+    """EVENT_SCHEMA plus every additional field seen in ``schemas``, in
+    first-seen order — the additive-evolution union the replay path unifies
+    all shards onto. Re-typed core columns are NOT allowed to widen the
+    canonical types (they cast to EVENT_SCHEMA's); extra columns keep their
+    shard-declared type, nested types included, and must agree across
+    shards."""
+    fields = list(EVENT_SCHEMA)
+    seen = {f.name: f.type for f in EVENT_SCHEMA}
+    for s in schemas:
+        for f in s:
+            if f.name not in seen:
+                fields.append(pa.field(f.name, f.type))
+                seen[f.name] = f.type
+            elif f.name not in EVENT_SCHEMA.names and seen[f.name] != f.type:
+                raise TypeError(
+                    f"evolved column {f.name!r} declared with conflicting "
+                    f"types: {seen[f.name]} vs {f.type}"
+                )
+    return pa.schema(fields)

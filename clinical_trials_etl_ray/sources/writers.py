@@ -42,6 +42,37 @@ def write_partitioned_parquet(ds, path: str, partition_col: str) -> str:
     return path
 
 
+def export_sections(
+    ds,
+    out_dir: str,
+    sections: dict,
+    key_cols: list | None = None,
+    combined: bool = True,
+    fmt: str = "json",
+) -> dict:
+    """Per-section export: one output directory per named column group, each
+    carrying the key columns plus that section's columns, plus an optional
+    combined export (reference: per-section JSON exporter writing one file
+    per top-level section + a combined document,
+    trials_extractor/exporters/json_exporter.py:62-102).
+
+    ``sections`` maps section name → column list. Sections are projected
+    with ``select_columns`` (column pruning happens before the write, so a
+    section export ships only its columns) and written in parallel part
+    files per section — never one giant file."""
+    writers = {"parquet": write_parquet, "csv": write_csv, "json": write_json}
+    if fmt not in writers:
+        raise ValueError(f"unsupported format {fmt!r}; one of {sorted(writers)}")
+    key_cols = list(key_cols or [])
+    results = {}
+    for name, cols in sections.items():
+        proj = ds.select_columns(key_cols + [c for c in cols if c not in key_cols])
+        results[name] = writers[fmt](proj, os.path.join(out_dir, name))
+    if combined:
+        results["combined"] = writers[fmt](ds, os.path.join(out_dir, "combined"))
+    return results
+
+
 def export_entities(entity_datasets: dict, out_dir: str, fmt: str = "parquet") -> dict:
     """S9 multi-entity export: one dataset per logical entity, one directory
     per entity (reference wrote trials.csv, locations.csv, … — here each

@@ -41,15 +41,18 @@ def prep_batch(
     num_buckets: int,
     min_lsn_exclusive: int,
     salt_factor: int = 1,
+    target_schema: pa.Schema | None = None,
 ) -> pa.Table:
-    """Stateless prep: unify to canonical schema (additive evolution: shards
-    written before `tool` existed gain a null column), drop events at or below
-    the global watermark (resume/idempotent re-delivery), validate ops, and
-    add the routing ``bucket`` column (hot-key-salted when salt_factor > 1,
-    see functions.hashing.salted_bucket_ids)."""
+    """Stateless prep: unify to the canonical (possibly evolved) schema —
+    additive evolution: shards written before a column existed gain a null
+    column, nested struct/list payload columns included — drop events at or
+    below the global watermark (resume/idempotent re-delivery), validate
+    ops, and add the routing ``bucket`` column (hot-key-salted when
+    salt_factor > 1, see functions.hashing.salted_bucket_ids)."""
     from ..functions.hashing import salted_bucket_ids
+    from ..schema import unify_to_schema
 
-    t = unify_to_event_schema(batch)
+    t = unify_to_schema(batch, target_schema or EVENT_SCHEMA)
     if min_lsn_exclusive >= 0:
         t = t.filter(pc.greater(t["lsn"], min_lsn_exclusive))
     if t.num_rows == 0:
@@ -287,7 +290,7 @@ def resolve_bucket(
         return EVENT_SCHEMA.empty_table()
 
     def _read(f):
-        t = unify_to_event_schema(pq.read_table(os.path.join(lake_dir, f["path"])))
+        t = pq.read_table(os.path.join(lake_dir, f["path"]))
         if as_of_lsn is not None and f.get("max_lsn", as_of_lsn) > as_of_lsn:
             t = t.filter(pc.less_equal(t["lsn"], as_of_lsn))
         return t
@@ -299,13 +302,19 @@ def resolve_bucket(
 
         with ThreadPoolExecutor(max_workers=min(8, len(files))) as ex:
             tables = list(ex.map(_read, files))
-    return lww_winners(pa.concat_tables(tables))
+    # unify every file generation onto the union of their schemas (older
+    # files null-fill columns added later, nested types included)
+    from ..schema import unify_to_schema, union_event_schema
+
+    target = union_event_schema([t.schema for t in tables])
+    return lww_winners(pa.concat_tables([unify_to_schema(t, target) for t in tables]))
 
 
 def live_rows(resolved: pa.Table) -> pa.Table:
-    """Winners minus delete tombstones, projected to the transcript schema."""
+    """Winners minus delete tombstones, projected to the transcript schema
+    plus any evolved payload columns (internal lsn/op dropped)."""
     t = resolved.filter(pc.not_equal(resolved["op"], "delete"))
-    return t.select(TRANSCRIPT_SCHEMA.names)
+    return t.select([n for n in t.column_names if n not in ("lsn", "op")])
 
 
 def candidate_buckets(

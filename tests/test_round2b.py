@@ -1,0 +1,224 @@
+"""Round-2 coverage (part 2): nested-column schema evolution through the
+full replay path, per-section export, and the per-row validator/quarantine."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# nested struct/list payload columns through replay → merge → read
+# ---------------------------------------------------------------------------
+
+TOOL_CALLS_T = pa.list_(
+    pa.struct([pa.field("name", pa.string()), pa.field("args", pa.string())])
+)
+
+
+def _shard(rows: list, path: str, with_nested: bool):
+    cols = {
+        "lsn": pa.array([r["lsn"] for r in rows], pa.int64()),
+        "op": pa.array([r["op"] for r in rows], pa.string()),
+        "conv_id": pa.array([r["conv_id"] for r in rows], pa.string()),
+        "turn_idx": pa.array([r["turn_idx"] for r in rows], pa.int32()),
+        "role": pa.array([r.get("role") for r in rows], pa.string()),
+        "text": pa.array([r.get("text") for r in rows], pa.string()),
+        "ts": pa.array(
+            [np.datetime64(1_000_000 * (1_700_000_000 + r["lsn"]), "us")
+             for r in rows], pa.timestamp("us")),
+    }
+    if with_nested:
+        cols["tool_calls"] = pa.array(
+            [r.get("tool_calls") for r in rows], TOOL_CALLS_T
+        )
+    pq.write_table(pa.table(cols), path)
+
+
+def test_nested_column_evolution_through_replay(ray_session, tmp_path):
+    from clinical_trials_etl_ray.pipelines.replay import compact, replay
+    from clinical_trials_etl_ray.stages.merge import read_final_table
+
+    binlog = tmp_path / "binlog"
+    binlog.mkdir()
+    # epoch 1: no nested column at all (and no `tool` either)
+    _shard(
+        [
+            {"lsn": 1, "op": "insert", "conv_id": "a", "turn_idx": 0,
+             "role": "user", "text": "hi"},
+            {"lsn": 2, "op": "insert", "conv_id": "a", "turn_idx": 1,
+             "role": "assistant", "text": "hello"},
+        ],
+        str(binlog / "s0.parquet"), with_nested=False,
+    )
+    # epoch 2: shards now carry list<struct> tool_calls; one row updates an
+    # epoch-1 key, one inserts a new key with nested payload
+    _shard(
+        [
+            {"lsn": 3, "op": "update", "conv_id": "a", "turn_idx": 1,
+             "role": "assistant", "text": "hello again",
+             "tool_calls": [{"name": "search", "args": '{"q":"x"}'}]},
+            {"lsn": 4, "op": "insert", "conv_id": "b", "turn_idx": 0,
+             "role": "tool", "text": "result",
+             "tool_calls": [{"name": "search", "args": "{}"},
+                            {"name": "fetch", "args": '{"u":"y"}'}]},
+        ],
+        str(binlog / "s1.parquet"), with_nested=True,
+    )
+
+    lake = str(tmp_path / "lake")
+    replay(str(binlog), lake, num_buckets=4, files_per_chunk=1)
+    t = pa.concat_tables(
+        list(read_final_table(lake).iter_batches(batch_format="pyarrow"))
+    ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+    assert t.schema.field("tool_calls").type == TOOL_CALLS_T
+    rows = t.to_pylist()
+    assert [(r["conv_id"], r["turn_idx"]) for r in rows] == [
+        ("a", 0), ("a", 1), ("b", 0)
+    ]
+    assert rows[0]["tool_calls"] is None          # epoch-1 row: null-filled
+    assert rows[1]["text"] == "hello again"       # LWW across epochs
+    assert rows[1]["tool_calls"] == [{"name": "search", "args": '{"q":"x"}'}]
+    assert [c["name"] for c in rows[2]["tool_calls"]] == ["search", "fetch"]
+
+    # nested columns survive compaction (sorted base rewrite) identically
+    compact(lake)
+    t2 = pa.concat_tables(
+        list(read_final_table(lake).iter_batches(batch_format="pyarrow"))
+    ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert t2.equals(t)
+
+
+def test_conflicting_evolved_types_raise(tmp_path):
+    from clinical_trials_etl_ray.schema import union_event_schema
+
+    a = pa.schema([pa.field("lsn", pa.int64()), pa.field("extra", pa.int64())])
+    b = pa.schema([pa.field("lsn", pa.int64()), pa.field("extra", pa.string())])
+    with pytest.raises(TypeError):
+        union_event_schema([a, b])
+
+
+# ---------------------------------------------------------------------------
+# per-section export
+# ---------------------------------------------------------------------------
+
+
+def test_export_sections(ray_session, tmp_path):
+    import ray.data
+
+    from clinical_trials_etl_ray.sources.writers import export_sections
+
+    ds = ray.data.read_parquet(os.path.join(SF, "orders.parquet"))
+    out = str(tmp_path / "sections")
+    res = export_sections(
+        ds,
+        out,
+        sections={
+            "pricing": ["o_totalprice", "o_orderdate"],
+            "status": ["o_orderstatus", "o_orderpriority"],
+        },
+        key_cols=["o_orderkey"],
+        fmt="json",
+    )
+    assert set(res) == {"pricing", "status", "combined"}
+    n_rows = ds.count()
+    for name, cols in [
+        ("pricing", {"o_orderkey", "o_totalprice", "o_orderdate"}),
+        ("status", {"o_orderkey", "o_orderstatus", "o_orderpriority"}),
+    ]:
+        lines = []
+        for f in os.listdir(os.path.join(out, name)):
+            with open(os.path.join(out, name, f)) as fh:
+                lines += [json.loads(line) for line in fh if line.strip()]
+        assert len(lines) == n_rows
+        assert set(lines[0]) == cols
+
+
+# ---------------------------------------------------------------------------
+# per-row validation + quarantine
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def dirty_events():
+    rows = [
+        # valid insert
+        {"lsn": 1, "op": "insert", "conv_id": "a", "turn_idx": 0,
+         "role": "user", "text": "ok", "tool": None, "ts": 1},
+        # missing conv_id + empty text
+        {"lsn": 2, "op": "insert", "conv_id": None, "turn_idx": 0,
+         "role": "user", "text": "  ", "tool": None, "ts": 2},
+        # bad op + negative turn
+        {"lsn": 3, "op": "upsert", "conv_id": "b", "turn_idx": -1,
+         "role": "user", "text": "x", "tool": None, "ts": 3},
+        # delete tombstone: payload rules must NOT fire
+        {"lsn": 4, "op": "delete", "conv_id": "a", "turn_idx": 0,
+         "role": None, "text": None, "tool": None, "ts": 4},
+        # missing ts + missing role
+        {"lsn": 5, "op": "update", "conv_id": "c", "turn_idx": 2,
+         "role": None, "text": "y", "tool": None, "ts": None},
+    ]
+    t = pa.table({
+        "lsn": pa.array([r["lsn"] for r in rows], pa.int64()),
+        "op": pa.array([r["op"] for r in rows], pa.string()),
+        "conv_id": pa.array([r["conv_id"] for r in rows], pa.string()),
+        "turn_idx": pa.array([r["turn_idx"] for r in rows], pa.int32()),
+        "role": pa.array([r["role"] for r in rows], pa.string()),
+        "text": pa.array([r["text"] for r in rows], pa.string()),
+        "tool": pa.array([r["tool"] for r in rows], pa.string()),
+        "ts": pa.array(
+            [None if r["ts"] is None else np.datetime64(r["ts"], "us")
+             for r in rows], pa.timestamp("us")),
+    })
+    return t
+
+
+def test_validate_batch_issue_lists(dirty_events):
+    from clinical_trials_etl_ray.stages.validate import validate_batch
+
+    v = validate_batch(dirty_events)
+    got = {r["lsn"]: (r["valid"], r["issues"]) for r in v.to_pylist()}
+    assert got[1] == (True, [])
+    assert got[2] == (False, ["missing_conv_id", "empty_text"])
+    assert got[3] == (False, ["negative_turn_idx", "invalid_op"])
+    assert got[4] == (True, [])  # tombstone: no payload checks
+    assert got[5] == (False, ["missing_ts", "missing_role"])
+
+
+def test_quarantine_split_and_report(ray_session, dirty_events):
+    import ray.data
+
+    from clinical_trials_etl_ray.stages.validate import (
+        issue_report,
+        quarantine_split,
+    )
+
+    ds = ray.data.from_arrow(dirty_events)
+    valid, quarantine = quarantine_split(ds)
+    vt = pa.concat_tables(list(valid.iter_batches(batch_format="pyarrow")))
+    qt = pa.concat_tables(list(quarantine.iter_batches(batch_format="pyarrow")))
+    assert sorted(vt["lsn"].to_pylist()) == [1, 4]
+    assert "issues" not in vt.column_names
+    assert sorted(qt["lsn"].to_pylist()) == [2, 3, 5]
+    assert "issues" in qt.column_names
+
+    rep = issue_report(ray.data.from_arrow(dirty_events))
+    assert rep["_rows_total"] == 5 and rep["_rows_invalid"] == 3
+    assert rep["missing_conv_id"] == 1 and rep["invalid_op"] == 1
+
+
+def test_validate_events_query_runs(ray_session):
+    from clinical_trials_etl_ray.pipelines.cdc_queries import q_validate_events
+
+    df = q_validate_events(SF).to_pandas()
+    assert len(df) == 1_000  # sf0.001 events table
+    assert set(df.columns) == {"lsn", "valid", "n_issues"}
+    assert df["valid"].all()  # derived binlog is clean by construction
+    assert (df["n_issues"] == 0).all()
