@@ -106,6 +106,8 @@ def bench_queries() -> dict:
         "revenue_by_priority": analytics.QUERIES["revenue_by_priority"],
         "dedup_documents_exact": analytics.QUERIES["dedup_documents_exact"],
         "near_dup_jaccard": textops.QUERIES["near_dup_jaccard"],
+        "dedup_survivors_minhash": textops.QUERIES["dedup_survivors_minhash"],
+        "simhash_pairs": textops.QUERIES["simhash_pairs"],
         "ann_topk": textops.QUERIES["ann_topk"],
         "token_counts": textops.QUERIES["token_counts"],
     }

@@ -174,38 +174,7 @@ def q_near_dup_jaccard(sf_dir: str, verify: str = "join"):
     uniq = dedupe_pairs(cands)
 
     if verify == "join":
-        from ..stages.join import copartition_join
-
-        docs_a = _docs(sf_dir).rename_columns(
-            {"doc_id": "id_a", "text": "text_a"}
-        )
-        docs_b = _docs(sf_dir).rename_columns(
-            {"doc_id": "id_b", "text": "text_b"}
-        )
-        joined = copartition_join(
-            copartition_join(uniq, docs_a, on="id_a", num_buckets=16),
-            docs_b,
-            on="id_b",
-            num_buckets=16,
-        )
-
-        def score(df: pd.DataFrame) -> pd.DataFrame:
-            if df.empty:
-                return pd.DataFrame(
-                    {"id_a": pd.Series([], dtype="int64"),
-                     "id_b": pd.Series([], dtype="int64"),
-                     "jaccard": pd.Series([], dtype="float64")}
-                )
-            jac = [
-                exact_jaccard(a, b)
-                for a, b in zip(df["text_a"], df["text_b"])
-            ]
-            df = df.assign(jaccard=np.round(jac, 6))
-            return df[df["jaccard"] >= JACCARD_THRESHOLD][
-                ["id_a", "id_b", "jaccard"]
-            ]
-
-        return joined.map_batches(score, batch_format="pandas")
+        return _join_verify(sf_dir, uniq)
 
     texts_tbl = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
@@ -234,6 +203,69 @@ def q_near_dup_jaccard(sf_dir: str, verify: str = "join"):
             return df[df["jaccard"] >= JACCARD_THRESHOLD][["id_a", "id_b", "jaccard"]]
 
     return uniq.map_batches(Verifier, batch_format="pandas", concurrency=(1, 4))
+
+
+def _join_verify(sf_dir: str, uniq):
+    """Distributed exact-Jaccard verification with ONE full-corpus exchange.
+
+    Each candidate pair explodes into two half-rows keyed by the member doc
+    id; one co-partitioned hash join attaches texts to the halves (the only
+    exchange that ships the corpus), then a SECOND, pair-sized exchange
+    regroups the two halves of each pair and scores them. Nothing is
+    collected driver-side; exchange volume is corpus + O(pairs), not
+    2×corpus as a naive join-per-side would pay."""
+    from ..stages.join import copartition_join
+
+    def explode_halves(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64"),
+                 "member": pd.Series([], dtype="int64")}
+            )
+        a = df["id_a"].to_numpy(dtype=np.int64)
+        b = df["id_b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "id_a": np.repeat(a, 2),
+                "id_b": np.repeat(b, 2),
+                "member": np.column_stack([a, b]).ravel(),
+            }
+        )
+
+    halves = uniq.map_batches(explode_halves, batch_format="pandas")
+    docs = _docs(sf_dir).map_batches(
+        lambda t: t.rename_columns(["member", "text"]), batch_format="pyarrow"
+    )
+    joined = copartition_join(halves, docs, on="member", num_buckets=64)
+
+    def pair_part(df: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            df["id_a"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            + df["id_b"].to_numpy().astype(np.uint64)
+        )
+        return df.assign(part=(h % np.uint64(N_COARSE_PARTITIONS)).astype(np.int64))
+
+    tagged = joined.map_batches(pair_part, batch_format="pandas")
+
+    def score_group(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"),
+             "id_b": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")}
+        )
+        if g.empty:
+            return empty
+        ha = g[g["member"] == g["id_a"]][["id_a", "id_b", "text"]]
+        hb = g[g["member"] == g["id_b"]][["id_a", "id_b", "text"]]
+        m = ha.merge(hb, on=["id_a", "id_b"], suffixes=("_a", "_b"))
+        if m.empty:
+            return empty
+        jac = [exact_jaccard(a, b) for a, b in zip(m["text_a"], m["text_b"])]
+        m = m.assign(jaccard=np.round(jac, 6))
+        return m[m["jaccard"] >= JACCARD_THRESHOLD][["id_a", "id_b", "jaccard"]]
+
+    return tagged.groupby("part").map_groups(score_group, batch_format="pandas")
 
 
 def q_simhash_pairs(sf_dir: str):
