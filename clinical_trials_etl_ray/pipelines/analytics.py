@@ -575,12 +575,18 @@ def q_canonical_event_types(sf_dir: str):
     from ray.data.aggregate import Count
 
     ds = _read(sf_dir, "events", ["event_type"])
+    keys = pa.array(list(_EVENT_VOCAB))
+    vals = pa.array(list(_EVENT_VOCAB.values()) + ["other"])
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        cat = df["event_type"].str.lower().map(_EVENT_VOCAB).fillna("other")
-        return pd.DataFrame({"category": cat})
+    def f(t: pa.Table) -> pa.Table:
+        # Arrow-native dict lookup: index_in against the vocab keys, misses
+        # fall through to the trailing "other" slot — zero-copy path, no
+        # pandas conversion
+        idx = pc.index_in(pc.utf8_lower(t["event_type"]), value_set=keys)
+        cat = vals.take(pc.fill_null(idx, len(keys)))
+        return pa.table({"category": cat})
 
-    out = ds.map_batches(f, batch_format="pandas")
+    out = ds.map_batches(f, batch_format="pyarrow")
     return (
         out.groupby("category")
         .aggregate(Count(alias_name="n"))

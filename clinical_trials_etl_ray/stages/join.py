@@ -12,9 +12,11 @@ engine needs:
   with vectorized pandas. No shuffle. Use when one side fits in worker heap.
 - ``copartition_join``: both sides large. One hash-shuffle each: tag rows
   with side + ``bucket = hash(key) % B``, union under a unified schema,
-  ``groupby("bucket")`` and pandas-merge each co-partition. Skewed keys: pick
-  B ≫ #workers and/or salt a hot key into sub-buckets on the build side and
-  replicate the probe row per salt (documented, not automatic).
+  ``groupby("bucket")`` and an Arrow-native (Acero) hash join per
+  co-partition — blocks stay Arrow end-to-end and SQL null semantics come
+  from the engine. Skewed keys: pick B ≫ #workers and/or salt a hot key into
+  sub-buckets on the build side and replicate the probe row per salt
+  (documented, not automatic).
 
 Partitioning assumption: equality keys only; B chosen so one bucket of BOTH
 sides fits in a worker's heap.
@@ -25,6 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import bucket_ids
 
@@ -35,8 +38,6 @@ def _key_buckets(table: pa.Table, keys: list, num_buckets: int) -> np.ndarray:
     keys get an arbitrary deterministic bucket; they are separated out per
     SQL semantics inside ``merge_bucket``, so their routing never affects
     results."""
-    import pyarrow.compute as pc
-
     if len(keys) == 1 and pa.types.is_integer(table.schema.field(keys[0]).type):
         v = pc.fill_null(table.column(keys[0]), 0).to_numpy(zero_copy_only=False)
         return ((v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)).astype(
@@ -182,41 +183,24 @@ def copartition_join(
         right.map_batches(tag(1), batch_format="pyarrow", batch_size=batch_size)
     )
 
-    # The tagged union null-fills each side's absent columns, which pandas
-    # represents by upcasting int columns to float64 for the WHOLE column.
-    # Restore integer dtypes after splitting sides — otherwise a chained
-    # second join hashes "42.0" (string fallback path) on one side and 42
-    # (int path) on the other and silently drops matches.
-    int_cols = {
-        f.name for f in unified if pa.types.is_integer(f.type)
-    } - {"__side", "__bucket"}
+    # Arrow-native per-bucket join (pyarrow/Acero hash join): both sides
+    # stay Arrow end-to-end — the tagged union's null-filled int columns
+    # remain int64-with-nulls (no pandas float64 upcast to repair), and the
+    # join already implements SQL null semantics (NULL keys never match;
+    # anti/left keep unmatched null-keyed probe rows).
+    arrow_how = {
+        "inner": "inner",
+        "left": "left outer",
+        "semi": "left semi",
+        "anti": "left anti",
+    }[how]
 
-    def _restore_ints(df: pd.DataFrame) -> pd.DataFrame:
-        for n in df.columns:
-            if n in int_cols and df[n].dtype != np.int64 and df[n].notna().all():
-                df = df.assign(**{n: df[n].astype(np.int64)})
-        return df
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        side = g.column("__side")
+        lf = g.filter(pc.equal(side, 0)).select(on_cols + l_only)
+        rf = g.filter(pc.equal(side, 1)).select(
+            on_cols if how in ("semi", "anti") else on_cols + r_only
+        )
+        return lf.join(rf, keys=on_cols, join_type=arrow_how)
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lf = _restore_ints(g[g["__side"] == 0][on_cols + l_only])
-        rf = _restore_ints(g[g["__side"] == 1][on_cols + r_only])
-        # SQL null semantics: NULL never equals NULL (pandas merge would
-        # match NaN keys). Null-keyed build rows never match anything; null-
-        # keyed probe rows are dropped for inner/semi and KEPT unmatched for
-        # left/anti (NOT-EXISTS semantics).
-        l_null_mask = lf[on_cols].isna().any(axis=1)
-        lf_null = lf[l_null_mask]
-        lf = lf[~l_null_mask]
-        rf = rf[~rf[on_cols].isna().any(axis=1)]
-        if how in ("semi", "anti"):
-            keys = rf[on_cols].drop_duplicates()
-            m = lf.merge(keys, on=on_cols, how="left", indicator=True)
-            want = "both" if how == "semi" else "left_only"
-            out = m[m["_merge"] == want].drop(columns="_merge")
-            return pd.concat([out, lf_null]) if how == "anti" and len(lf_null) else out
-        out = lf.merge(rf, on=on_cols, how=how)
-        if how == "left" and len(lf_null):
-            out = pd.concat([out, lf_null.reindex(columns=out.columns)])
-        return out
-
-    return tagged.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+    return tagged.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")

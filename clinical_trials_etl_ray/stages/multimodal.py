@@ -122,6 +122,88 @@ class RealDecoder:
         raise NotImplementedError("real decode path not exercised in sandbox")
 
 
+class FakeResizer:
+    """Resize stage over decoded fake pixels: deterministically derives a
+    (target, target) float32 "image" from the payload (the stub decode), then
+    mean-pools it to the target size — the real PIL/cv2 kernel drops in here
+    unchanged. Output replaces ``payload`` with a fixed-size ``pixels``
+    column (target², float32), metadata updated to the new dims."""
+
+    def __init__(self, target: int = 8, source: int = 32):
+        self.target = target
+        self.source = source
+        if source % target:
+            raise ValueError("source must be a multiple of target")
+
+    def _pixels(self, payload: bytes) -> np.ndarray:
+        digest = hashlib.md5(payload).digest()
+        rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
+        img = rng.random((self.source, self.source), dtype=np.float32)
+        f = self.source // self.target
+        # mean-pool resize, fully vectorized per image
+        return img.reshape(self.target, f, self.target, f).mean(axis=(1, 3))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        pixels = [self._pixels(p).ravel() for p in payloads]
+        meta = [
+            {"width": self.target, "height": self.target, "duration_ms": 0}
+            for _ in payloads
+        ]
+        return pa.Table.from_pydict(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "pixels": pa.array(pixels, pa.list_(pa.float32())),
+                "meta": pa.array(meta, MEDIA_SCHEMA.field("meta").type),
+            }
+        )
+
+
+class FrameSampler:
+    """Frame-sampling stage for ``video`` rows: emits ``n_frames`` evenly
+    spaced frame features per video (one output row per frame, FK back to
+    media_id) and passes non-video rows through with frame_idx 0 — the
+    standard explode-with-FK layout a real ffmpeg sampler would produce."""
+
+    def __init__(self, n_frames: int = 4, feature_dim: int = FEATURE_DIM):
+        self.n_frames = n_frames
+        self.feature_dim = feature_dim
+
+    def _frame_features(self, payload: bytes, k: int) -> np.ndarray:
+        digest = hashlib.md5(payload).digest()
+        rng = np.random.default_rng(int.from_bytes(digest[:8], "little") ^ k)
+        return rng.standard_normal(self.feature_dim).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, kinds, fidx, feats, ts_ms = [], [], [], [], []
+        for mid, kind, payload, meta in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("meta").to_pylist(),
+        ):
+            n = self.n_frames if kind == "video" else 1
+            dur = (meta or {}).get("duration_ms") or 0
+            for k in range(n):
+                ids.append(mid)
+                kinds.append(kind)
+                fidx.append(k)
+                ts_ms.append(dur * k // max(1, n))
+                feats.append(self._frame_features(payload, k))
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "frame_ts_ms": pa.array(ts_ms, pa.int32()),
+                "feature": pa.array(
+                    [f.tolist() for f in feats], pa.list_(pa.float32())
+                ),
+            }
+        )
+
+
 def media_features_ds(n: int = 300, batch_size: int = 32, concurrency=2,
                       dup_rate: float = 0.0):
     """The full plumbing: synth corpus → actor-pool decode → features.

@@ -222,3 +222,44 @@ def test_validate_events_query_runs(ray_session):
     assert set(df.columns) == {"lsn", "valid", "n_issues"}
     assert df["valid"].all()  # derived binlog is clean by construction
     assert (df["n_issues"] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# multimodal resize / frame-sample plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_fake_resizer_and_frame_sampler(ray_session):
+    import ray.data
+
+    from clinical_trials_etl_ray.stages.multimodal import (
+        FakeResizer,
+        FrameSampler,
+        synth_media_table,
+    )
+
+    t = synth_media_table(45, seed=9)
+    ds = ray.data.from_arrow(t)
+
+    resized = ds.map_batches(
+        FakeResizer, batch_format="pyarrow", batch_size=16, concurrency=2,
+        fn_constructor_kwargs={"target": 8, "source": 32},
+    )
+    rt = pa.concat_tables(list(resized.iter_batches(batch_format="pyarrow")))
+    assert rt.num_rows == 45
+    assert all(len(p) == 64 for p in rt["pixels"].to_pylist())
+    assert rt["meta"].to_pylist()[0]["width"] == 8
+
+    frames = ds.map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=16, concurrency=2,
+        fn_constructor_kwargs={"n_frames": 4},
+    )
+    ft = pa.concat_tables(list(frames.iter_batches(batch_format="pyarrow")))
+    kinds = t["kind"].to_pylist()
+    n_video = sum(1 for k in kinds if k == "video")
+    assert ft.num_rows == n_video * 4 + (45 - n_video)  # explode w/ FK
+    vid = ft.filter(pa.compute.equal(ft["kind"], "video"))
+    per = {}
+    for mid, fi in zip(vid["media_id"].to_pylist(), vid["frame_idx"].to_pylist()):
+        per.setdefault(mid, []).append(fi)
+    assert all(sorted(v) == [0, 1, 2, 3] for v in per.values())
