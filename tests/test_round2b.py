@@ -263,3 +263,39 @@ def test_fake_resizer_and_frame_sampler(ray_session):
     for mid, fi in zip(vid["media_id"].to_pylist(), vid["frame_idx"].to_pylist()):
         per.setdefault(mid, []).append(fi)
     assert all(sorted(v) == [0, 1, 2, 3] for v in per.values())
+
+
+# ---------------------------------------------------------------------------
+# tagged-variant columns (E4: variant-typed extractor results)
+# ---------------------------------------------------------------------------
+
+
+def test_variant_pack_roundtrip_and_parquet(tmp_path):
+    import pyarrow.compute as pc
+
+    from clinical_trials_etl_ray.functions.variant import (
+        pack_variants,
+        unpack_variants,
+        variant_as_string,
+        variant_kind,
+    )
+
+    vals = ["hello", 42, 3.5, ["a", "b"], None, True, []]
+    arr = pack_variants(vals)
+    back = unpack_variants(arr)
+    assert back == ["hello", 42.0, 3.5, ["a", "b"], None, 1.0, []]
+    assert variant_kind(arr).to_pylist() == [
+        "str", "num", "num", "list", "null", "num", "list"
+    ]
+    rendered = variant_as_string(arr).to_pylist()
+    assert rendered[0] == "hello" and rendered[3] == "a;b" and rendered[4] is None
+
+    # parquet round-trip (unions can't do this; the tagged struct can)
+    t = pa.table({"id": list(range(len(vals))), "v": arr})
+    p = str(tmp_path / "v.parquet")
+    pq.write_table(t, p)
+    t2 = pq.read_table(p)
+    assert unpack_variants(t2["v"].combine_chunks()) == back
+
+    with pytest.raises(TypeError):
+        pack_variants([{"a": 1}])
