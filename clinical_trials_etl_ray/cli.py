@@ -64,6 +64,10 @@ def main(argv=None) -> int:
 
     cp = sub.add_parser("compact")
     cp.add_argument("lake_dir")
+    cp.add_argument("--expire-keep-last", type=int, default=None,
+                    help="after compacting, retire all but the newest N "
+                         "manifest versions and reclaim their files "
+                         "(time travel works for every retained version)")
 
     dp = sub.add_parser("read")
     dp.add_argument("lake_dir")
@@ -73,6 +77,12 @@ def main(argv=None) -> int:
                     help="time travel: state as of this LSN")
     dp.add_argument("--version", type=int, default=None,
                     help="time travel: read an older manifest snapshot")
+    dp.add_argument("--conv-id", default=None,
+                    help="point lookup: prune to the key's buckets + files")
+    dp.add_argument("--conv-min", default=None,
+                    help="inclusive conv_id range start (manifest file prune)")
+    dp.add_argument("--conv-max", default=None,
+                    help="inclusive conv_id range end (manifest file prune)")
 
     op = sub.add_parser("oracle")
     op.add_argument("binlog_dir")
@@ -145,13 +155,29 @@ def main(argv=None) -> int:
             from .pipelines.replay import compact
 
             n = compact(args.lake_dir)
-            print(json.dumps({"buckets_compacted": n}))
+            expired = []
+            if args.expire_keep_last is not None:
+                from .state.manifest import Manifest
+
+                expired = Manifest.load(args.lake_dir).expire_versions(
+                    keep_last=args.expire_keep_last
+                )
+            print(json.dumps({"buckets_compacted": n, "expired_versions": expired}))
         elif args.cmd == "read":
             from .sources.writers import write_csv, write_json, write_parquet
             from .stages.merge import read_final_table
 
+            conv_range = (
+                (args.conv_min, args.conv_max)
+                if (args.conv_min is not None or args.conv_max is not None)
+                else None
+            )
             ds = read_final_table(
-                args.lake_dir, as_of_lsn=args.as_of_lsn, version=args.version
+                args.lake_dir,
+                as_of_lsn=args.as_of_lsn,
+                version=args.version,
+                conv_id=args.conv_id,
+                conv_range=conv_range,
             )
             {"parquet": write_parquet, "csv": write_csv, "json": write_json}[
                 args.format
