@@ -54,11 +54,14 @@ class ReplayReport:
         return self.delta_rows_written
 
 
-def _shard_lsn_range(path: str) -> tuple[int, int, int]:
-    """(min_lsn, max_lsn, num_rows) from parquet metadata — no data read."""
+def _shard_meta(path: str):
+    """(min_lsn, max_lsn, num_rows, arrow_schema) from parquet metadata —
+    no data read; ONE footer fetch serves both chunk planning and the
+    schema-evolution union."""
     md = pq.read_metadata(path)
+    schema = md.schema.to_arrow_schema()
     lo, hi = None, None
-    idx = md.schema.to_arrow_schema().get_field_index("lsn")
+    idx = schema.get_field_index("lsn")
     for rg in range(md.num_row_groups):
         col = md.row_group(rg).column(idx)
         if col.statistics is not None and col.statistics.has_min_max:
@@ -68,11 +71,32 @@ def _shard_lsn_range(path: str) -> tuple[int, int, int]:
         t = pq.read_table(path, columns=["lsn"])
         lo = pc.min(t["lsn"]).as_py()
         hi = pc.max(t["lsn"]).as_py()
-    return int(lo), int(hi), int(md.num_rows)
+    return int(lo), int(hi), int(md.num_rows), schema
+
+
+def _shard_metas(paths: list) -> dict:
+    """Parallel footer scan — at 10^10-event scale a binlog has 10^4-10^5
+    shards and a serial driver-side metadata pass would dominate planning;
+    footer reads are I/O-bound and release the GIL."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(paths) <= 2:
+        return {p: _shard_meta(p) for p in paths}
+    with ThreadPoolExecutor(max_workers=min(32, len(paths))) as ex:
+        return dict(zip(paths, ex.map(_shard_meta, paths)))
+
+
+def _shard_lsn_range(path: str) -> tuple[int, int, int]:
+    """(min_lsn, max_lsn, num_rows) — kept for tests/back-compat."""
+    lo, hi, rows, _ = _shard_meta(path)
+    return lo, hi, rows
 
 
 def plan_chunks(
-    shard_paths: list, files_per_chunk: int, disorder_bound: int = 0
+    shard_paths: list,
+    files_per_chunk: int,
+    disorder_bound: int = 0,
+    metas: dict | None = None,
 ) -> list:
     """Order shards by min LSN and group into chunks of N files.
 
@@ -85,8 +109,10 @@ def plan_chunks(
     delivery in LSN units (0 for a true LSN-ordered WAL). Conservative
     watermarks only cause idempotent re-application (LWW no-ops), never
     loss."""
+    if metas is None:
+        metas = _shard_metas(shard_paths)
     ranged = sorted(
-        ((p,) + _shard_lsn_range(p) for p in shard_paths), key=lambda t: t[1]
+        ((p,) + metas[p][:3] for p in shard_paths), key=lambda t: t[1]
     )
     groups = [ranged[i : i + files_per_chunk] for i in range(0, len(ranged), files_per_chunk)]
     chunks = []
@@ -171,18 +197,18 @@ def replay(
     if disorder_bound is None:
         disorder_bound = producer_disorder_bound(binlog) or 0
 
-    # Additive schema evolution: the run's canonical schema is EVENT_SCHEMA
+    # ONE parallel footer pass serves both chunk planning (LSN ranges) and
+    # additive schema evolution: the run's canonical schema is EVENT_SCHEMA
     # plus every extra column any shard declares (nested struct/list payload
-    # columns included) — a metadata-only scan, no data read.
+    # columns included) — metadata only, no data read.
     from ..schema import union_event_schema
 
-    target_schema = union_event_schema(
-        [pq.read_schema(p) for p in shard_paths]
-    )
+    metas = _shard_metas(shard_paths)
+    target_schema = union_event_schema([metas[p][3] for p in shard_paths])
 
     man = Manifest.load_or_create(lake_dir, num_buckets, salt_factor=hot_key_salt)
     report = ReplayReport()
-    chunks = plan_chunks(shard_paths, files_per_chunk, disorder_bound)
+    chunks = plan_chunks(shard_paths, files_per_chunk, disorder_bound, metas=metas)
     report.chunks_total = len(chunks)
 
     for paths, commit_wm, chunk_max_lsn, chunk_rows in chunks:

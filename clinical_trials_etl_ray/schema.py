@@ -67,6 +67,8 @@ def unify_to_schema(table: pa.Table, target: pa.Schema) -> pa.Table:
     114-130, to nested Arrow columns): a shard written before a column
     existed gains an all-null column of the target type; same-name columns
     are cast (raises on lossy casts rather than corrupting)."""
+    if table.schema.equals(target):  # steady-state fast path: zero-copy
+        return table
     arrays = []
     for field in target:
         if field.name in table.column_names:
