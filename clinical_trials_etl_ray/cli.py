@@ -57,6 +57,10 @@ def main(argv=None) -> int:
                     help="producer out-of-order bound in LSN units; default: "
                          "the binlog's _meta.json published bound, else 0")
     rp.add_argument("--merge-mode", choices=["direct", "shuffle"], default="direct")
+    rp.add_argument("--hot-key-salt", default="1",
+                    help="buckets per conversation for hot-key skew: an "
+                         "integer, or 'auto' to derive from a bounded "
+                         "key-distribution sample at lake creation")
     rp.add_argument("--follow", action="store_true",
                     help="tail the binlog dir until no new shards arrive")
     rp.add_argument("--poll-interval", type=float, default=2.0)
@@ -139,10 +143,14 @@ def main(argv=None) -> int:
         if args.cmd == "replay":
             from .pipelines.replay import follow, replay
 
+            salt = (
+                "auto" if args.hot_key_salt == "auto" else int(args.hot_key_salt)
+            )
             kw = dict(
                 num_buckets=args.buckets,
                 files_per_chunk=args.files_per_chunk,
                 disorder_bound=args.disorder_bound, merge_mode=args.merge_mode,
+                hot_key_salt=salt,
             )
             if args.follow:
                 r = follow(args.binlog_dir, args.lake_dir,

@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
+import numpy as np
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
@@ -148,6 +149,39 @@ def producer_disorder_bound(binlog) -> int | None:
     return None
 
 
+def detect_hot_key_salt(
+    shard_paths: list,
+    num_buckets: int,
+    sample_rows: int = 200_000,
+    max_salt: int = 16,
+) -> int:
+    """Pick a salt factor from a BOUNDED sample of the binlog's key
+    distribution: a key carrying share ``p`` of events needs its turns
+    spread over ~``p × num_buckets`` buckets to flatten the hottest
+    partition to average load. Reads at most ``sample_rows`` rows of ONE
+    column from the first few shards (streaming, stops early) — never the
+    log. Returns 1 for roughly uniform keys."""
+    import collections
+
+    counts: collections.Counter = collections.Counter()
+    seen = 0
+    for p in shard_paths[:4]:
+        f = pq.ParquetFile(p)
+        for b in f.iter_batches(batch_size=65536, columns=["conv_id"]):
+            vals = b.column(0).to_pandas().value_counts()
+            counts.update(vals.to_dict())
+            seen += len(b)
+            if seen >= sample_rows:
+                break
+        if seen >= sample_rows:
+            break
+    if not seen:
+        return 1
+    top_share = counts.most_common(1)[0][1] / seen
+    salt = int(np.ceil(top_share * num_buckets)) if top_share > 1.5 / num_buckets else 1
+    return max(1, min(salt, max_salt))
+
+
 def replay(
     binlog: str | list,
     lake_dir: str,
@@ -156,7 +190,7 @@ def replay(
     batch_size: int | None = None,
     disorder_bound: int | None = None,
     merge_mode: str = "direct",
-    hot_key_salt: int = 1,
+    hot_key_salt: int | str = 1,
 ) -> ReplayReport:
     """Replay a binlog directory (or explicit shard list) into the lake.
 
@@ -176,7 +210,10 @@ def replay(
 
     hot_key_salt: spread each conversation's turns over this many buckets
     (deterministic per key; fixed at lake creation, persisted in the
-    manifest) — mitigates a viral conv_id pinning one partition.
+    manifest) — mitigates a viral conv_id pinning one partition. Pass
+    ``"auto"`` to derive it from a bounded sample of the binlog's key
+    distribution (``detect_hot_key_salt``) on lake CREATION; on an existing
+    lake the manifest's persisted factor is used.
 
     Idempotent and resumable: re-running after any interruption converges to
     the same committed state. Ray must already be initialized (or Ray Data
@@ -205,6 +242,13 @@ def replay(
 
     metas = _shard_metas(shard_paths)
     target_schema = union_event_schema([metas[p][3] for p in shard_paths])
+
+    if hot_key_salt == "auto":
+        cur = os.path.join(lake_dir, "manifest", "CURRENT")
+        if os.path.exists(cur):
+            hot_key_salt = Manifest.load(lake_dir).salt_factor
+        else:
+            hot_key_salt = detect_hot_key_salt(shard_paths, num_buckets)
 
     man = Manifest.load_or_create(lake_dir, num_buckets, salt_factor=hot_key_salt)
     report = ReplayReport()

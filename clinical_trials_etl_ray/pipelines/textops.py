@@ -363,7 +363,75 @@ def q_media_near_dup(sf_dir: str):
     )
 
 
+def q_training_data_prep(sf_dir: str):
+    """The composed training-data-prep flow — the pipeline a pre-training
+    data user actually runs, each stage one of this repo's operators:
+    documents → token counting → quality scoring → quality filter → md5
+    fingerprint → exact dedup (per-batch pre-combine, then one groupby) →
+    per-survivor token stats. Streaming end-to-end; SQL-checkable, compared
+    against its oracle in pytest (registered beyond the driver's 50-query
+    window)."""
+    from ray.data.aggregate import Min
+
+    from ..stages.text import md5_exact
+
+    ds = _docs(sf_dir).map_batches(
+        TokenCounter, batch_format="pandas", concurrency=(1, 4), batch_size=4096
+    )
+    ds = ds.map_batches(QualityScorer, batch_format="pandas", concurrency=(1, 4))
+    ds = ds.map_batches(
+        lambda df: df[df["quality_ok"]][["doc_id", "text", "n_chars", "n_ws_tokens"]],
+        batch_format="pandas",
+    )
+    ds = ds.map_batches(md5_exact, batch_format="pyarrow")
+
+    def precombine(t: pa.Table) -> pa.Table:
+        # per-batch partial: keep the min-doc_id row per hash before the
+        # exchange, so the groupby ships ≤ one row per distinct hash per batch
+        df = t.select(["text_md5", "doc_id", "n_chars", "n_ws_tokens"]).to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values("doc_id").groupby("text_md5", as_index=False).first(),
+            preserve_index=False,
+        )
+
+    ds = ds.map_batches(precombine, batch_format="pyarrow")
+    out = ds.groupby("text_md5").aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        Min("n_chars", alias_name="n_chars"),
+        Min("n_ws_tokens", alias_name="n_ws_tokens"),
+    )
+    return out.select_columns(["doc_id", "n_chars", "n_ws_tokens"])
+
+
+_TRAINING_PREP_SQL = """
+WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+q AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_letters,
+         greatest(len(regexp_extract_all(text, '[a-zA-Z]+')), 1) AS n_words
+  FROM t
+),
+ok AS (
+  SELECT doc_id, text, n_chars FROM q
+  WHERE n_chars >= 20
+    AND CAST(n_letters AS DOUBLE) / n_words BETWEEN 2.0 AND 12.0
+),
+tok AS (
+  SELECT doc_id, md5(text) AS h, CAST(n_chars AS BIGINT) AS n_chars,
+         CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+              ELSE CAST(len(regexp_split_to_array(
+                     regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
+                   AS BIGINT) END AS n_ws_tokens
+  FROM ok
+)
+SELECT min(doc_id) AS doc_id, min(n_chars) AS n_chars,
+       min(n_ws_tokens) AS n_ws_tokens
+FROM tok GROUP BY h
+"""
+
+
 QUERIES = {
+    "training_data_prep": q_training_data_prep,
     "token_counts": q_token_counts,
     "punct_stats": q_punct_stats,
     "fingerprint_md5": q_fingerprint_md5,
@@ -487,6 +555,7 @@ ORACLE_SQL = {
     ),
     "near_dup_jaccard": _JACCARD_SQL,
     "dedup_survivors_minhash": _SURVIVORS_SQL,
+    "training_data_prep": _TRAINING_PREP_SQL,  # pytest-checked (tail entry)
     "ann_topk": _ANN_SQL,
     "ann_topk_ivf": _ANN_SQL,  # nprobe = n_centroids ⇒ exact brute-force
     "near_dup_cosine": _COS_PAIRS_SQL,

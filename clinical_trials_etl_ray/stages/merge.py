@@ -406,7 +406,8 @@ def read_final_table(
         return pa.concat_tables(out) if out else TRANSCRIPT_SCHEMA.empty_table()
 
     ds = ray.data.from_items(items, override_num_blocks=len(items))
-    return ds.map_batches(resolve, batch_format="pyarrow", batch_size=1)
+    kwargs = {"concurrency": concurrency} if concurrency else {}
+    return ds.map_batches(resolve, batch_format="pyarrow", batch_size=1, **kwargs)
 
 
 def compact_bucket(

@@ -344,3 +344,51 @@ def test_simhash_pair_kernel_matches_naive():
                     naive.add((min(ids[i], ids[j]), max(ids[i], ids[j]), d))
     got_set = set(map(tuple, got[["id_a", "id_b", "hamming"]].to_numpy()))
     assert got_set == naive
+
+
+def test_detect_hot_key_salt(ray_session, tmp_path):
+    from clinical_trials_etl_ray.pipelines.replay import (
+        detect_hot_key_salt,
+        replay,
+    )
+    from clinical_trials_etl_ray.stages.merge import read_final_table
+    from clinical_trials_etl_ray.state.manifest import Manifest
+    from clinical_trials_etl_ray.synth import BinlogSpec, write_binlog_shards
+
+    hot = str(tmp_path / "hot")
+    write_binlog_shards(
+        BinlogSpec(n_events=20_000, n_convs=100, max_turns=50_000, seed=2,
+                   zipf_s=2.8, shuffle_window=16),
+        hot, n_shards=4, parallel=False,
+    )
+    uni = str(tmp_path / "uni")
+    write_binlog_shards(
+        BinlogSpec(n_events=20_000, n_convs=2_000, seed=2, zipf_s=0.0,
+                   shuffle_window=16),
+        uni, n_shards=4, parallel=False,
+    )
+    import os as _os
+
+    hot_paths = sorted(
+        _os.path.join(hot, f) for f in _os.listdir(hot) if f.endswith(".parquet")
+    )
+    uni_paths = sorted(
+        _os.path.join(uni, f) for f in _os.listdir(uni) if f.endswith(".parquet")
+    )
+    assert detect_hot_key_salt(hot_paths, 16) > 1
+    assert detect_hot_key_salt(uni_paths, 16) == 1
+
+    # auto-salted replay persists the detected factor and matches plain replay
+    lake_a = str(tmp_path / "lake_auto")
+    lake_p = str(tmp_path / "lake_plain")
+    replay(hot, lake_a, num_buckets=16, files_per_chunk=2, hot_key_salt="auto")
+    replay(hot, lake_p, num_buckets=16, files_per_chunk=2, hot_key_salt=1)
+    assert Manifest.load(lake_a).salt_factor > 1
+    key = ["conv_id", "turn_idx"]
+    a = read_final_table(lake_a).to_pandas().sort_values(key).reset_index(drop=True)
+    p = read_final_table(lake_p).to_pandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, p)
+
+    # resuming with "auto" on an existing lake reuses the persisted factor
+    r = replay(hot, lake_a, num_buckets=16, files_per_chunk=2, hot_key_salt="auto")
+    assert r.chunks_total > 0
