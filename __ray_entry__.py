@@ -50,6 +50,7 @@ _ORACLE_FIRST = [
 # registered but deliberately beyond the driver's 50-query window: rows-only
 # entries and analytics whose operator coverage duplicates a greener query
 _TAIL = [
+    "order_last_event_asof",
     "training_data_prep",
     "validate_events",
     "quality_scores",

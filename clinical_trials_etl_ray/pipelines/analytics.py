@@ -820,8 +820,46 @@ def q_user_sessions(sf_dir: str):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+def q_order_last_event_asof(sf_dir: str):
+    """Distributed AS-OF join (an operator Ray Data lacks — the canonical
+    custom-operator case): for each event whose user id is also an orders
+    customer id, the latest order placed at or before the event. One hash
+    exchange per side on the equality key + per-bucket sorted merge_asof
+    (stages/join.py copartition_asof_join); DuckDB's native ASOF JOIN is
+    the oracle. The matched value is the order DATE (not the key): ties on
+    (custkey, date) would make the picked row engine-dependent, the date is
+    deterministic. Registered beyond the driver window, oracle-checked in
+    pytest."""
+    from ..stages.join import copartition_asof_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def to_ts(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["o_custkey"], pc.cast(t["o_orderdate"], pa.timestamp("us"))],
+            names=["o_custkey", "order_ts"],
+        )
+
+    orders = orders.map_batches(to_ts, batch_format="pyarrow")
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = copartition_asof_join(
+        events, orders,
+        left_by="user_id", right_by="o_custkey",
+        left_on="ts", right_on="order_ts",
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["event_id"], t["user_id"], t["order_ts"]],
+            names=["event_id", "user_id", "last_order_ts"],
+        )
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
 QUERIES = {
     "count_lineitem": q_count_lineitem,
+    "order_last_event_asof": q_order_last_event_asof,
     "user_sessions": q_user_sessions,
     "top3_orders_per_priority": q_top3_orders_per_priority,
     "customers_with_orders": q_customers_with_orders,
@@ -865,6 +903,12 @@ QUERIES = {
 
 ORACLE_SQL = {
     "count_lineitem": "SELECT COUNT(*) AS n FROM lineitem",
+    "order_last_event_asof": (
+        "SELECT e.event_id, e.user_id, "
+        "CAST(o.o_orderdate AS TIMESTAMP) AS last_order_ts "
+        "FROM events e ASOF JOIN orders o "
+        "ON e.user_id = o.o_custkey AND CAST(o.o_orderdate AS TIMESTAMP) <= e.ts"
+    ),
     "explode_part_tokens": (
         "SELECT p_partkey, unnest(string_split(p_type, ' ')) AS token FROM part"
     ),

@@ -204,3 +204,126 @@ def copartition_join(
         return lf.join(rf, keys=on_cols, join_type=arrow_how)
 
     return tagged.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
+
+
+def copartition_asof_join(
+    left,
+    right,
+    left_by: str,
+    right_by: str,
+    left_on: str,
+    right_on: str,
+    num_buckets: int = 32,
+    direction: str = "backward",
+    batch_size: int = 65536,
+):
+    """Distributed AS-OF join (inner): for each left row, match the right
+    row with the greatest ``right_on`` ≤ ``left_on`` (``direction=
+    "backward"``; ``"forward"`` = smallest ≥) sharing the same equality key
+    (``left_by`` = ``right_by``).
+
+    Ray Data has no as-of join; the lake-scale shape is the same
+    co-partition recipe as ``copartition_join``: ONE hash exchange per side
+    on the equality key, then a per-bucket sorted ``pandas.merge_asof``.
+    Partitioning assumption: equality keys only; a bucket of both sides
+    fits one worker's heap; the ``on`` columns must share one dtype
+    (cast beforehand — e.g. date32 → timestamp). Output dtypes are restored
+    to the input Arrow types after the pandas round-trip (the inner join
+    leaves no null-filled numerics behind).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unsupported direction={direction!r}")
+
+    l_schema = _arrow_schema(left)
+    r_schema = _arrow_schema(right)
+    l_names = list(l_schema.names)
+    r_only = [n for n in r_schema.names if n != right_by]
+    overlap = set(l_names) & set(r_only)
+    if overlap:
+        raise ValueError(f"column names overlap across sides: {sorted(overlap)}")
+    if l_schema.field(left_on).type != r_schema.field(right_on).type:
+        raise TypeError(
+            f"as-of 'on' dtypes differ: {l_schema.field(left_on).type} vs "
+            f"{r_schema.field(right_on).type} — cast one side first"
+        )
+
+    out_schema = pa.schema(
+        [l_schema.field(n) for n in l_names]
+        + [r_schema.field(n) for n in r_only]
+    )
+    unified = pa.schema(
+        list(out_schema)
+        + [pa.field("__side", pa.int8()), pa.field("__bucket", pa.int64())]
+    )
+    key_t = l_schema.field(left_by).type
+
+    def tag(side: int, by_col: str, rename: dict):
+        def fn(t: pa.Table) -> pa.Table:
+            arrays = {}
+            for f in unified:
+                src = rename.get(f.name, f.name)
+                if f.name == "__side":
+                    arrays[f.name] = pa.array(
+                        np.full(t.num_rows, side, dtype=np.int8)
+                    )
+                elif f.name == "__bucket":
+                    continue
+                elif src in t.column_names:
+                    arrays[f.name] = t.column(src).cast(f.type)
+                else:
+                    arrays[f.name] = pa.nulls(t.num_rows, f.type)
+            key_tbl = pa.Table.from_arrays(
+                [t.column(by_col).cast(key_t)], names=[left_by]
+            )
+            arrays["__bucket"] = pa.array(
+                _key_buckets(key_tbl, [left_by], num_buckets)
+            )
+            return pa.Table.from_arrays(
+                [arrays[f.name] for f in unified], schema=unified
+            )
+
+        return fn
+
+    # the right side's by column rides in the LEFT key column slot (cast to
+    # its type), so one unified schema serves both sides
+    tagged = left.map_batches(
+        tag(0, left_by, {}), batch_format="pyarrow", batch_size=batch_size
+    ).union(
+        right.map_batches(
+            tag(1, right_by, {left_by: right_by}),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    )
+
+    r_value_cols = [n for n in r_only]
+
+    def merge_asof_bucket(g: pd.DataFrame) -> pa.Table:
+        lf = g[g["__side"] == 0][l_names].sort_values(left_on, kind="mergesort")
+        rf = g[g["__side"] == 1][[left_by] + r_value_cols].sort_values(
+            right_on, kind="mergesort"
+        )
+        lf = lf[lf[left_on].notna() & lf[left_by].notna()]
+        rf = rf[rf[right_on].notna() & rf[left_by].notna()]
+        if lf.empty:
+            return out_schema.empty_table()
+        if rf.empty:
+            m = pd.DataFrame()
+        else:
+            m = pd.merge_asof(
+                lf, rf, left_on=left_on, right_on=right_on,
+                by=left_by, direction=direction,
+            ).dropna(subset=[right_on])
+        if m.empty:
+            return out_schema.empty_table()
+        arrays = []
+        for f in out_schema:
+            col = pa.Array.from_pandas(m[f.name])
+            if col.type != f.type:
+                col = col.cast(f.type)
+            arrays.append(col)
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    return tagged.groupby("__bucket").map_groups(
+        merge_asof_bucket, batch_format="pandas"
+    )
