@@ -51,6 +51,7 @@ _ORACLE_FIRST = [
 # entries and analytics whose operator coverage duplicates a greener query
 _TAIL = [
     "order_last_event_asof",
+    "order_followups_window",
     "training_data_prep",
     "validate_events",
     "quality_scores",

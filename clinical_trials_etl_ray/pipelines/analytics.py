@@ -857,9 +857,66 @@ def q_order_last_event_asof(sf_dir: str):
     return out.map_batches(proj, batch_format="pyarrow")
 
 
+def q_order_followups_window(sf_dir: str):
+    """Distributed RANGE join (equality key + interval predicate — the
+    other custom-operator case named alongside as-of): per order, how many
+    LATER orders the same customer placed within 30 days. Self join
+    co-partitioned on o_custkey, interval filter per joined batch, then a
+    pre-combined count (stages/join.py copartition_range_join). Registered
+    beyond the driver window, oracle-checked in pytest."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import copartition_range_join
+
+    def side(prefix: str):
+        ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+        def prep(t: pa.Table) -> pa.Table:
+            # timestamps, not date32: the per-batch interval arithmetic
+            # stays vectorized datetime64 after the pandas conversion
+            return pa.Table.from_arrays(
+                [t["o_orderkey"], t["o_custkey"],
+                 pc.cast(t["o_orderdate"], pa.timestamp("us"))],
+                names=[f"{prefix}orderkey", "o_custkey", f"{prefix}ts"],
+            )
+
+        return ds.map_batches(prep, batch_format="pyarrow")
+
+    a, b = side("a_"), side("b_")
+
+    def in_window(df: pd.DataFrame):
+        d0 = df["a_ts"]
+        d1 = df["b_ts"]
+        return (
+            (d1 > d0)
+            | ((d1 == d0) & (df["b_orderkey"] != df["a_orderkey"]))
+        ) & (d1 <= d0 + pd.Timedelta(days=30))
+
+    pairs = copartition_range_join(a, b, on="o_custkey", condition=in_window)
+
+    def precount(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("a_orderkey", as_index=False).agg(
+            n_followups=("b_orderkey", "size")
+        )
+        return g.rename(columns={"a_orderkey": "o_orderkey"})
+
+    partials = pairs.map_batches(precount, batch_format="pandas")
+    out = partials.groupby("o_orderkey").aggregate(
+        Sum("n_followups", alias_name="n_followups")
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("n_followups"), "n_followups",
+            t["n_followups"].cast(pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
 QUERIES = {
     "count_lineitem": q_count_lineitem,
     "order_last_event_asof": q_order_last_event_asof,
+    "order_followups_window": q_order_followups_window,
     "user_sessions": q_user_sessions,
     "top3_orders_per_priority": q_top3_orders_per_priority,
     "customers_with_orders": q_customers_with_orders,
@@ -908,6 +965,14 @@ ORACLE_SQL = {
         "CAST(o.o_orderdate AS TIMESTAMP) AS last_order_ts "
         "FROM events e ASOF JOIN orders o "
         "ON e.user_id = o.o_custkey AND CAST(o.o_orderdate AS TIMESTAMP) <= e.ts"
+    ),
+    "order_followups_window": (
+        "SELECT a.o_orderkey, COUNT(*) AS n_followups "
+        "FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey "
+        "AND (b.o_orderdate > a.o_orderdate OR "
+        "(b.o_orderdate = a.o_orderdate AND b.o_orderkey <> a.o_orderkey)) "
+        "AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY "
+        "GROUP BY a.o_orderkey"
     ),
     "explode_part_tokens": (
         "SELECT p_partkey, unnest(string_split(p_type, ' ')) AS token FROM part"

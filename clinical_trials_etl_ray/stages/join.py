@@ -206,6 +206,36 @@ def copartition_join(
     return tagged.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
 
 
+def copartition_range_join(
+    left,
+    right,
+    on,
+    condition,
+    num_buckets: int = 32,
+    batch_size: int = 65536,
+):
+    """Range / interval join: equality on ``on`` plus an arbitrary
+    row-level ``condition`` (a vectorized pandas-DataFrame → bool-mask
+    callable over the joined frame). Implementation: the co-partitioned
+    equality join does the heavy lifting (one hash exchange per side), the
+    range predicate filters each joined batch — the standard
+    equality-key-then-filter range-join plan. Cost note: per-key output is
+    the cartesian product of that key's rows before filtering; bound the
+    per-key cardinality (or pre-aggregate) exactly as a SQL engine would
+    for an inequality join without an interval index."""
+    joined = copartition_join(
+        left, right, on=on, num_buckets=num_buckets, how="inner",
+        batch_size=batch_size,
+    )
+
+    def apply_condition(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        return df[condition(df)]
+
+    return joined.map_batches(apply_condition, batch_format="pandas")
+
+
 def copartition_asof_join(
     left,
     right,
