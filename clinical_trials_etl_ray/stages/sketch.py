@@ -1,0 +1,99 @@
+"""Mergeable sketches for approximate analytics at lake scale.
+
+HyperLogLog distinct counting: per-batch vectorized register updates
+(``np.maximum.at`` over leading-zero counts), associative register merge
+(elementwise max), standard bias-corrected estimate. The sketch is a
+DETERMINISTIC function of the input SET (fixed SipHash key, order- and
+partition-invariant), so any parallelism yields the same estimate — the
+property that makes it safe as a distributed operator. At 2^p registers the
+relative standard error is ~1.04/sqrt(2^p) (~1.6% at p=12, 4 KiB state).
+
+Distributed shape: ``map_batches`` emits one tiny register row per batch
+(4 KiB, independent of batch size); the driver merges the handful of
+partials — never the data. A ``groupby(...).aggregate``-style per-group
+variant falls out of the same kernel (registers per group key).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import hash_strings
+
+
+def _rho(w: np.ndarray, bits: int) -> np.ndarray:
+    """Position of the first 1-bit (1-based) in the low ``bits`` bits of w,
+    counted from the MSB side — vectorized leading-zero count + 1."""
+    out = np.full(len(w), bits + 1, dtype=np.int8)
+    found = np.zeros(len(w), dtype=bool)
+    for i in range(bits - 1, -1, -1):  # bits ≤ 58 vectorized passes
+        bit = (w >> np.uint64(i)) & np.uint64(1)
+        hit = (~found) & (bit == 1)
+        out[hit] = bits - i
+        found |= hit
+    return out
+
+
+class HLLSketch:
+    """HyperLogLog with 2^p registers over 64-bit hashes."""
+
+    def __init__(self, p: int = 12):
+        if not 4 <= p <= 18:
+            raise ValueError("p must be in [4, 18]")
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.int8)
+
+    def add_hashes(self, h: np.ndarray) -> "HLLSketch":
+        h = h.astype(np.uint64, copy=False)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        w = h & np.uint64((1 << (64 - self.p)) - 1)
+        np.maximum.at(self.registers, idx, _rho(w, 64 - self.p))
+        return self
+
+    def add(self, values) -> "HLLSketch":
+        return self.add_hashes(hash_strings(np.asarray(values, dtype=object)))
+
+    def merge(self, other: "HLLSketch") -> "HLLSketch":
+        if other.p != self.p:
+            raise ValueError("cannot merge sketches of different precision")
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        inv = np.ldexp(1.0, -self.registers.astype(np.int64))
+        e = alpha * m * m / inv.sum()
+        zeros = int((self.registers == 0).sum())
+        if e <= 2.5 * m and zeros:
+            return m * np.log(m / zeros)  # linear counting, small range
+        return float(e)
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, p: int) -> "HLLSketch":
+        s = cls(p)
+        s.registers = np.frombuffer(b, dtype=np.int8).copy()
+        return s
+
+
+def approx_distinct(ds, col: str, p: int = 12) -> float:
+    """Approximate distinct count of ``col`` over a Dataset: one 4 KiB
+    register row per batch, merged on the driver (the data never leaves the
+    workers). Deterministic at any parallelism."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = HLLSketch(p)
+        s.add_hashes(hash_strings(t.column(col).cast(pa.string())))
+        return pa.Table.from_pydict({"registers": [s.to_bytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc = HLLSketch(p)
+    for row in parts:
+        acc.merge(HLLSketch.from_bytes(row["registers"], p))
+    return acc.estimate()

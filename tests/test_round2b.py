@@ -299,3 +299,42 @@ def test_variant_pack_roundtrip_and_parquet(tmp_path):
 
     with pytest.raises(TypeError):
         pack_variants([{"a": 1}])
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog sketch (novel-sketch custom operator)
+# ---------------------------------------------------------------------------
+
+
+def test_hll_accuracy_and_merge_associativity():
+    from clinical_trials_etl_ray.stages.sketch import HLLSketch
+
+    rng = np.random.default_rng(5)
+    vals = [f"v{int(x)}" for x in rng.integers(0, 50_000, size=200_000)]
+    exact = len(set(vals))
+
+    one = HLLSketch(p=12).add(vals)
+    # split into 7 partials, merge — must equal the single-pass sketch
+    acc = HLLSketch(p=12)
+    for i in range(7):
+        acc.merge(HLLSketch(p=12).add(vals[i::7]))
+    assert (one.registers == acc.registers).all()
+
+    est = one.estimate()
+    assert abs(est - exact) / exact < 0.05  # ~3σ at p=12 (σ≈1.6%)
+
+    # serialization round-trip
+    back = HLLSketch.from_bytes(one.to_bytes(), 12)
+    assert back.estimate() == est
+
+
+def test_approx_distinct_operator(ray_session):
+    import ray.data
+
+    from clinical_trials_etl_ray.stages.sketch import approx_distinct
+
+    ds = ray.data.read_parquet(os.path.join(SF, "events.parquet"),
+                               columns=["user_id"])
+    exact = len(ds.unique("user_id"))
+    est = approx_distinct(ds, "user_id", p=12)
+    assert abs(est - exact) / exact < 0.05
