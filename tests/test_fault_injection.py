@@ -98,3 +98,54 @@ def test_full_replay_after_crash_equals_single_run(ray_session, tmp_path):
     replay(binlog, clean_lake, num_buckets=8, files_per_chunk=2, disorder_bound=64)
     oracle = oracle_final_table(generate_events(SPEC))
     assert _final(clean_lake).equals(oracle)
+
+
+def test_crash_during_compaction_is_safe(ray_session, tmp_path, monkeypatch):
+    """A crash after compacted base files are staged but BEFORE the
+    compaction commit must leave the lake readable at its prior state; the
+    staged bases are unreferenced and a later compaction converges."""
+    import pandas as pd
+
+    from clinical_trials_etl_ray.pipelines.replay import compact, replay
+    from clinical_trials_etl_ray.state.manifest import Manifest
+    from clinical_trials_etl_ray.stages.merge import read_final_table
+    from clinical_trials_etl_ray.synth import BinlogSpec, write_binlog_shards
+
+    binlog = str(tmp_path / "binlog")
+    write_binlog_shards(
+        BinlogSpec(n_events=4_000, n_convs=40, seed=8, shuffle_window=32),
+        binlog, n_shards=4, parallel=False,
+    )
+    lake = str(tmp_path / "lake")
+    replay(binlog, lake, num_buckets=8, files_per_chunk=2)
+    before = read_final_table(lake).to_pandas()
+    v_before = Manifest.load(lake).version
+
+    real_commit = Manifest.commit
+
+    def failing_commit(self, *a, **kw):
+        if kw.get("metrics", {}).get("compaction"):
+            raise RuntimeError("injected crash before compaction commit")
+        return real_commit(self, *a, **kw)
+
+    monkeypatch.setattr(Manifest, "commit", failing_commit)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        compact(lake)
+    monkeypatch.setattr(Manifest, "commit", real_commit)
+
+    # lake still serves the pre-compaction state
+    assert Manifest.load(lake).version == v_before
+    key = ["conv_id", "turn_idx"]
+    mid = read_final_table(lake).to_pandas()
+    pd.testing.assert_frame_equal(
+        before.sort_values(key).reset_index(drop=True),
+        mid.sort_values(key).reset_index(drop=True),
+    )
+
+    # retried compaction converges (idempotent content-hash staging)
+    compact(lake)
+    after = read_final_table(lake).to_pandas()
+    pd.testing.assert_frame_equal(
+        before.sort_values(key).reset_index(drop=True),
+        after.sort_values(key).reset_index(drop=True),
+    )
