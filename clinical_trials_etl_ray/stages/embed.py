@@ -262,6 +262,136 @@ def ann_topk_ivf(
     return partials.groupby("qid").map_groups(final_topk, batch_format="pandas")
 
 
+def build_ivf_index(sf_dir: str, index_dir: str, n_centroids: int = 16):
+    """Materialize the IVF index as a PARTITIONED lake layout: embeddings
+    written hive-partitioned by their nearest-centroid list id, centroids
+    saved alongside. This is the concrete multi-node scale path the
+    in-memory IVF alludes to — a probe then READS only its ``nprobe``
+    list partitions (true partition pruning at the storage layer), i.e.
+    nprobe/C of the corpus instead of a full scan per query batch."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    sample = read_prefix_rows(path, max(1024, n_centroids * 16)).sort_by("vec_id")
+    stride = max(1, sample.num_rows // n_centroids)
+    cent_t = sample.take(list(range(0, stride * n_centroids, stride))[:n_centroids])
+    centroids = table_to_matrix(cent_t)
+    os.makedirs(index_dir, exist_ok=True)
+    pq.write_table(cent_t, os.path.join(index_dir, "centroids.parquet"))
+
+    cm_ref = ray.put(normalize_rows(centroids))
+
+    class Assigner:
+        def __init__(self):
+            self.cm = ray.get(cm_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = normalize_rows(table_to_matrix(batch))
+            assign = np.argmax(self.cm @ m.T, axis=0).astype(np.int32)
+            # ivf_list becomes the hive partition dir; list_id stays IN the
+            # files so partition-pruned direct file reads keep the value
+            batch = batch.append_column("ivf_list", pa.array(assign))
+            return batch.append_column("list_id", pa.array(assign))
+
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = ds.map_batches(
+        Assigner, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)
+    )
+    data_dir = os.path.join(index_dir, "data")
+    ds.write_parquet(data_dir, partition_cols=["ivf_list"])
+    return index_dir
+
+
+def ann_topk_ivf_indexed(
+    sf_dir: str,
+    index_dir: str,
+    n_queries: int = 5,
+    k: int = 5,
+    nprobe: int = 4,
+):
+    """Top-k over the materialized IVF index: pick queries (bounded read),
+    choose each query's ``nprobe`` nearest lists, then read ONLY those list
+    partitions — storage-level pruning replaces the per-batch mask of the
+    scan-everything variant. Exact (= brute force) when nprobe = #lists."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    cent_t = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    cm = normalize_rows(table_to_matrix(cent_t))
+    qt = read_lowest_vec_ids(os.path.join(sf_dir, "embeddings.parquet"), n_queries)
+    qm = normalize_rows(table_to_matrix(qt))
+    qc = qm @ cm.T
+    nprobe = min(nprobe, len(cm))
+    probe_idx = np.argsort(-qc, axis=1)[:, :nprobe]
+    probe_mask = np.zeros((len(qm), len(cm)), dtype=bool)
+    np.put_along_axis(probe_mask, probe_idx, True, axis=1)
+    lists = sorted({int(v) for v in probe_idx.ravel()})
+
+    data_dir = os.path.join(index_dir, "data")
+    paths = []
+    for v in lists:  # expand each probed partition dir to its files
+        d = os.path.join(data_dir, f"ivf_list={v}")
+        if os.path.isdir(d):
+            paths.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    if not paths:
+        return ray.data.from_arrow(
+            pa.table({"qid": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "cos_sim": pa.array([], pa.float64())})
+        )
+
+    qids = qt.column("vec_id").to_numpy(zero_copy_only=False)
+    ref = ray.put({"qid": qids, "qm": qm, "probe_mask": probe_mask,
+                   "lists": np.array(lists, dtype=np.int64)})
+
+    class ListScorer:
+        def __init__(self):
+            a = ray.get(ref)
+            self.qids, self.qm = a["qid"], a["qm"]
+            self.probe_mask = a["probe_mask"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            lists_col = batch.column("list_id").to_numpy(zero_copy_only=False).astype(int)
+            m = normalize_rows(table_to_matrix(batch))
+            cos = self.qm @ m.T
+            allowed = self.probe_mask[:, lists_col]
+            allowed &= self.qids[:, None] != vec_ids[None, :]
+            qi, bi = np.nonzero(allowed)
+            return pa.Table.from_pydict(
+                {"qid": self.qids[qi], "vec_id": vec_ids[bi], "cos": cos[qi, bi]}
+            )
+
+    ds = ray.data.read_parquet(paths)
+    scores = ds.map_batches(
+        ListScorer, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)
+    )
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["qid", "cos", "vec_id"], ascending=[True, False, True])
+        return pa.Table.from_pandas(df.groupby("qid").head(k), preserve_index=False)
+
+    partials = scores.map_batches(partial_topk, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+        g["cos_sim"] = g["cos"].round(6)
+        return g[["qid", "vec_id", "cos_sim"]]
+
+    return partials.groupby("qid").map_groups(final_topk, batch_format="pandas")
+
+
 class PairScorer:
     """All-pairs cosine near-dup per batch vs broadcast full matrix."""
 

@@ -338,3 +338,36 @@ def test_approx_distinct_operator(ray_session):
     exact = len(ds.unique("user_id"))
     est = approx_distinct(ds, "user_id", p=12)
     assert abs(est - exact) / exact < 0.05
+
+
+# ---------------------------------------------------------------------------
+# materialized IVF index (partition-pruned ANN reads)
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_indexed_partition_pruning(ray_session, tmp_path):
+    from tests.util_compare import canon, to_pandas
+
+    from clinical_trials_etl_ray.stages.embed import (
+        ann_topk,
+        ann_topk_ivf_indexed,
+        build_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf_index")
+    build_ivf_index(SF, idx, n_centroids=16)
+    # every list partition exists on disk as its own directory
+    parts = [d for d in os.listdir(os.path.join(idx, "data"))
+             if d.startswith("ivf_list=")]
+    assert len(parts) >= 2
+
+    # all lists probed ⇒ exactly the brute-force result
+    bf = canon(to_pandas(ann_topk(SF, n_queries=5, k=5)))
+    full = canon(to_pandas(ann_topk_ivf_indexed(SF, idx, 5, 5, nprobe=16)))
+    pd.testing.assert_frame_equal(bf, full, check_dtype=False)
+
+    # small nprobe reads a strict subset of partitions and keeps recall
+    approx = to_pandas(ann_topk_ivf_indexed(SF, idx, 5, 5, nprobe=4))
+    bf_pairs = set(map(tuple, to_pandas(ann_topk(SF, 5, 5))[["qid", "vec_id"]].to_numpy()))
+    ap_pairs = set(map(tuple, approx[["qid", "vec_id"]].to_numpy()))
+    assert len(ap_pairs & bf_pairs) / len(bf_pairs) >= 0.5
