@@ -392,3 +392,52 @@ def test_detect_hot_key_salt(ray_session, tmp_path):
     # resuming with "auto" on an existing lake reuses the persisted factor
     r = replay(hot, lake_a, num_buckets=16, files_per_chunk=2, hot_key_salt="auto")
     assert r.chunks_total > 0
+
+
+def test_late_shard_loss_with_zero_bound_and_fix(ray_session, tmp_path):
+    """The ADVICE r01 scenario, pinned end-to-end: a producer delivers a
+    late shard whose LSNs fall below the already-committed watermark. With
+    disorder_bound=0 those events are silently filtered as already-applied
+    (demonstrated); with the producer's true bound the watermark stays
+    conservative and nothing is lost."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clinical_trials_etl_ray.pipelines.replay import replay
+    from clinical_trials_etl_ray.stages.merge import read_final_table
+
+    def shard(path, lsns):
+        n = len(lsns)
+        pq.write_table(pa.table({
+            "lsn": pa.array(lsns, pa.int64()),
+            "op": pa.array(["insert"] * n, pa.string()),
+            "conv_id": pa.array([f"c{x}" for x in lsns], pa.string()),
+            "turn_idx": pa.array([0] * n, pa.int32()),
+            "role": pa.array(["user"] * n, pa.string()),
+            "text": pa.array([f"t{x}" for x in lsns], pa.string()),
+            "tool": pa.array([None] * n, pa.string()),
+            "ts": pa.array(
+                [np.datetime64(1_000_000 * (1_700_000_000 + x), "us")
+                 for x in lsns], pa.timestamp("us")),
+        }), path)
+
+    early = list(range(0, 850)) + list(range(900, 1000))  # wave 1
+    late = list(range(850, 900))                          # delayed shard
+
+    # the producer bound must cover the worst LSN displacement: delivered
+    # max (999) minus the oldest still-outstanding event (850) = 149
+    for bound, expect_loss in ((0, True), (150, False)):
+        binlog = tmp_path / f"binlog_{bound}"
+        binlog.mkdir()
+        shard(str(binlog / "w1.parquet"), early)
+        lake = str(tmp_path / f"lake_{bound}")
+        replay(str(binlog), lake, num_buckets=4, files_per_chunk=4,
+               disorder_bound=bound)
+        shard(str(binlog / "w2.parquet"), late)  # late arrival
+        replay(str(binlog), lake, num_buckets=4, files_per_chunk=4,
+               disorder_bound=bound)
+        n = read_final_table(lake).count()
+        if expect_loss:
+            assert n == 950  # the 50 late events were silently dropped
+        else:
+            assert n == 1000  # conservative watermark kept them
