@@ -175,6 +175,10 @@ def main(argv=None) -> int:
             from .sources.writers import write_csv, write_json, write_parquet
             from .stages.merge import read_final_table
 
+            if args.conv_id is not None and (
+                args.conv_min is not None or args.conv_max is not None
+            ):
+                p.error("--conv-id conflicts with --conv-min/--conv-max")
             conv_range = (
                 (args.conv_min, args.conv_max)
                 if (args.conv_min is not None or args.conv_max is not None)

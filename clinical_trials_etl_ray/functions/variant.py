@@ -39,8 +39,14 @@ def pack_variants(values) -> pa.Array:
         elif isinstance(v, (bool, int, float, np.integer, np.floating)):
             kinds.append("num"); svals.append(None); nvals.append(float(v)); lvals.append(None)
         elif isinstance(v, (list, tuple, np.ndarray)):
+            items = list(v)
+            if not all(isinstance(x, str) for x in items):
+                raise TypeError(
+                    "variant list branch holds list[str] only; got "
+                    f"{[type(x).__name__ for x in items if not isinstance(x, str)]}"
+                )
             kinds.append("list"); svals.append(None); nvals.append(None)
-            lvals.append([str(x) for x in v])
+            lvals.append(items)
         else:
             raise TypeError(f"unsupported variant value type: {type(v)!r}")
     return pa.StructArray.from_arrays(

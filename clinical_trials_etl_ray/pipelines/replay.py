@@ -234,23 +234,27 @@ def replay(
     if disorder_bound is None:
         disorder_bound = producer_disorder_bound(binlog) or 0
 
-    # ONE parallel footer pass serves both chunk planning (LSN ranges) and
-    # additive schema evolution: the run's canonical schema is EVENT_SCHEMA
-    # plus every extra column any shard declares (nested struct/list payload
-    # columns included) — metadata only, no data read.
-    from ..schema import union_event_schema
-
-    metas = _shard_metas(shard_paths)
-    target_schema = union_event_schema([metas[p][3] for p in shard_paths])
-
     if hot_key_salt == "auto":
-        cur = os.path.join(lake_dir, "manifest", "CURRENT")
-        if os.path.exists(cur):
+        if Manifest.exists(lake_dir):
             hot_key_salt = Manifest.load(lake_dir).salt_factor
         else:
             hot_key_salt = detect_hot_key_salt(shard_paths, num_buckets)
 
     man = Manifest.load_or_create(lake_dir, num_buckets, salt_factor=hot_key_salt)
+
+    # ONE parallel footer pass serves both chunk planning (LSN ranges) and
+    # additive schema evolution: the run's canonical schema is EVENT_SCHEMA
+    # plus every extra column any shard declares (nested struct/list payload
+    # columns included) — metadata only, no data read. The manifest's
+    # previously committed schema joins the union, so columns evolved by an
+    # EARLIER run survive even when this run's shards lack them.
+    from ..schema import schema_from_b64, schema_to_b64, union_event_schema
+
+    metas = _shard_metas(shard_paths)
+    prior = [schema_from_b64(man.schema_ipc)] if man.schema_ipc else []
+    target_schema = union_event_schema(
+        prior + [metas[p][3] for p in shard_paths]
+    )
     report = ReplayReport()
     chunks = plan_chunks(shard_paths, files_per_chunk, disorder_bound, metas=metas)
     report.chunks_total = len(chunks)
@@ -320,6 +324,7 @@ def replay(
             new_files,
             new_watermark_lsn=max(commit_wm, wm_global),
             schema_names=list(target_schema.names),
+            schema_ipc=schema_to_b64(target_schema),
             metrics={
                 "chunk_max_lsn": chunk_max_lsn,
                 "events_read": chunk_rows,
@@ -396,6 +401,8 @@ def follow(
             total.chunks_skipped += r.chunks_skipped
             total.chunks_applied += r.chunks_applied
             total.events_read += r.events_read
+            total.rows_deduped += r.rows_deduped
+            total.stale_skipped += r.stale_skipped
             total.delta_rows_written += r.delta_rows_written
             total.final_version = r.final_version
         rounds += 1

@@ -240,11 +240,11 @@ def _join_verify(sf_dir: str, uniq):
     joined = copartition_join(halves, docs, on="member", num_buckets=64)
 
     def pair_part(df: pd.DataFrame) -> pd.DataFrame:
-        h = (
-            df["id_a"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-            + df["id_b"].to_numpy().astype(np.uint64)
+        from ..stages.dedup_text import pair_partition_ids
+
+        return df.assign(
+            part=pair_partition_ids(df["id_a"].to_numpy(), df["id_b"].to_numpy())
         )
-        return df.assign(part=(h % np.uint64(N_COARSE_PARTITIONS)).astype(np.int64))
 
     tagged = joined.map_batches(pair_part, batch_format="pandas")
 

@@ -92,6 +92,19 @@ def unify_to_event_schema(table: pa.Table) -> pa.Table:
     return unify_to_schema(table, EVENT_SCHEMA)
 
 
+def schema_to_b64(s: pa.Schema) -> str:
+    """Serialize a schema (IPC + base64) for embedding in the manifest."""
+    import base64
+
+    return base64.b64encode(s.serialize().to_pybytes()).decode("ascii")
+
+
+def schema_from_b64(b: str) -> pa.Schema:
+    import base64
+
+    return pa.ipc.read_schema(pa.py_buffer(base64.b64decode(b)))
+
+
 def union_event_schema(schemas) -> pa.Schema:
     """EVENT_SCHEMA plus every additional field seen in ``schemas``, in
     first-seen order — the additive-evolution union the replay path unifies

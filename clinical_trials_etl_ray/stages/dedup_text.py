@@ -235,16 +235,25 @@ def candidate_pairs_partition(group: pd.DataFrame, df_cap: int = 200) -> pd.Data
     return df
 
 
+def pair_partition_ids(id_a: np.ndarray, id_b: np.ndarray) -> np.ndarray:
+    """THE coarse partition key for (id_a, id_b) pair streams — shared by
+    pair dedup and the join-verify regroup so the two can never diverge."""
+    h = (
+        id_a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        + id_b.astype(np.uint64)
+    )
+    return (h % np.uint64(N_COARSE_PARTITIONS)).astype(np.int64)
+
+
 def dedupe_pairs(ds):
     """Cross-partition pair dedup with a coarse key (same trick)."""
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        h = (
-            df["id_a"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-            + df["id_b"].to_numpy().astype(np.uint64)
+        return df.assign(
+            pair_part=pair_partition_ids(
+                df["id_a"].to_numpy(), df["id_b"].to_numpy()
+            )
         )
-        df = df.assign(pair_part=(h % np.uint64(N_COARSE_PARTITIONS)).astype(np.int64))
-        return df
 
     tagged = ds.map_batches(add_part, batch_format="pandas")
     return tagged.groupby("pair_part").map_groups(
@@ -385,7 +394,8 @@ def simhash_candidate_pairs_partition(
         ia, ib = np.triu_indices(int(length), k=1)
         d = _popcount64(sh_mat[:, ia] ^ sh_mat[:, ib]).ravel()
         a, b = ids_mat[:, ia].ravel(), ids_mat[:, ib].ravel()
-        keep = d <= max_hamming
+        # a != b guards duplicate (doc, block) rows emitting self-pairs
+        keep = (d <= max_hamming) & (a != b)
         out_a.append(a[keep])
         out_b.append(b[keep])
         out_h.append(d[keep])

@@ -187,13 +187,23 @@ def copartition_join(
     # stay Arrow end-to-end — the tagged union's null-filled int columns
     # remain int64-with-nulls (no pandas float64 upcast to repair), and the
     # join already implements SQL null semantics (NULL keys never match;
-    # anti/left keep unmatched null-keyed probe rows).
+    # anti/left keep unmatched null-keyed probe rows). Acero rejects NESTED
+    # list/struct non-key columns, so those fall back to a pandas merge with
+    # the same null semantics enforced manually and Arrow dtypes restored
+    # from the unified schema afterwards.
     arrow_how = {
         "inner": "inner",
         "left": "left outer",
         "semi": "left semi",
         "anti": "left anti",
     }[how]
+    payload = on_cols + l_only + (r_only if how not in ("semi", "anti") else [])
+    has_nested = any(
+        pa.types.is_nested(unified.field(n).type) for n in payload
+    )
+    out_fields = [unified.field(n) for n in on_cols + l_only] + (
+        [unified.field(n) for n in r_only] if how in ("inner", "left") else []
+    )
 
     def merge_bucket(g: pa.Table) -> pa.Table:
         side = g.column("__side")
@@ -201,7 +211,36 @@ def copartition_join(
         rf = g.filter(pc.equal(side, 1)).select(
             on_cols if how in ("semi", "anti") else on_cols + r_only
         )
-        return lf.join(rf, keys=on_cols, join_type=arrow_how)
+        if not has_nested:
+            return lf.join(rf, keys=on_cols, join_type=arrow_how)
+
+        ldf, rdf = lf.to_pandas(), rf.to_pandas()
+        l_null = ldf[on_cols].isna().any(axis=1)
+        ldf_null, ldf = ldf[l_null], ldf[~l_null]
+        rdf = rdf[~rdf[on_cols].isna().any(axis=1)]
+        if how in ("semi", "anti"):
+            keys = rdf[on_cols].drop_duplicates()
+            m = ldf.merge(keys, on=on_cols, how="left", indicator=True)
+            want = "both" if how == "semi" else "left_only"
+            out = m[m["_merge"] == want].drop(columns="_merge")
+            if how == "anti" and len(ldf_null):
+                out = pd.concat([out, ldf_null])
+        else:
+            out = ldf.merge(rdf, on=on_cols, how=how)
+            if how == "left" and len(ldf_null):
+                out = pd.concat([out, ldf_null.reindex(columns=out.columns)])
+        arrays = []
+        for f in out_fields:
+            try:
+                # NaN → null, then a safe cast back to the unified dtype
+                col = pa.Array.from_pandas(out[f.name], type=f.type)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                    pa.ArrowTypeError):
+                col = pa.Array.from_pandas(out[f.name])
+            arrays.append(col)
+        return pa.Table.from_arrays(
+            arrays, names=[f.name for f in out_fields]
+        )
 
     return tagged.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
 

@@ -372,13 +372,28 @@ def read_final_table(
         allowed = set(candidate_buckets(conv_id, man.num_buckets, man.salt_factor))
     else:
         allowed = None
+
+    # every bucket unifies onto the manifest's COMMITTED schema — a bucket
+    # no evolving run touched still emits the evolved columns (null-filled),
+    # so exports carry ONE uniform schema (older lakes without a recorded
+    # schema fall back to per-bucket unions)
+    committed = None
+    if man.schema_ipc:
+        from ..schema import schema_from_b64
+
+        full = schema_from_b64(man.schema_ipc)
+        committed = pa.schema([f for f in full if f.name not in ("lsn", "op")])
+
     items = [
         {"bucket": b, "lake_dir": lake_dir}
         for b in range(man.num_buckets)
         if man.files_for_bucket(b) and (allowed is None or b in allowed)
     ]
     if not items:
-        return ray.data.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
+        return ray.data.from_arrow(
+            committed.empty_table() if committed is not None
+            else TRANSCRIPT_SCHEMA.empty_table()
+        )
     files_by_bucket = {b: man.files_for_bucket(b) for b in range(man.num_buckets)}
 
     def resolve(batch: pa.Table) -> pa.Table:
@@ -392,6 +407,10 @@ def read_final_table(
                 conv_range=conv_range,
             )
             t = live_rows(resolved)
+            if committed is not None:
+                from ..schema import unify_to_schema
+
+                t = unify_to_schema(t, committed)
             if conv_range is not None:
                 lo, hi = conv_range
                 if lo is not None:

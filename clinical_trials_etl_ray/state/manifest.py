@@ -48,6 +48,10 @@ class Manifest:
     salt_factor: int = 1  # hot-key salting granularity, fixed at creation
     schema_version: int = 1
     schema_names: list = field(default_factory=list)
+    # full committed Arrow schema (IPC, base64) — the read path unifies every
+    # bucket to THIS, so buckets untouched by an evolving run still emit the
+    # evolved columns (null-filled) and exports keep one uniform schema
+    schema_ipc: str | None = None
     # bucket_id(str in json) -> {"watermark_lsn": int, "files": [fileinfo...]}
     buckets: dict = field(default_factory=dict)
     metrics: dict = field(default_factory=dict)
@@ -70,6 +74,12 @@ class Manifest:
         return m
 
     @classmethod
+    def exists(cls, lake_dir: str) -> bool:
+        """True when ``lake_dir`` holds a committed lake (layout knowledge
+        stays in this module)."""
+        return os.path.exists(os.path.join(lake_dir, MANIFEST_DIR, "CURRENT"))
+
+    @classmethod
     def load(cls, lake_dir: str) -> "Manifest":
         cur = os.path.join(lake_dir, MANIFEST_DIR, "CURRENT")
         with open(cur) as f:
@@ -84,6 +94,7 @@ class Manifest:
             salt_factor=doc.get("salt_factor", 1),
             schema_version=doc.get("schema_version", 1),
             schema_names=doc.get("schema_names", []),
+            schema_ipc=doc.get("schema_ipc"),
             buckets=doc.get("buckets", {}),
             metrics=doc.get("metrics", {}),
         )
@@ -104,6 +115,7 @@ class Manifest:
             salt_factor=doc.get("salt_factor", 1),
             schema_version=doc.get("schema_version", 1),
             schema_names=doc.get("schema_names", []),
+            schema_ipc=doc.get("schema_ipc"),
             buckets=doc.get("buckets", {}),
             metrics=doc.get("metrics", {}),
         )
@@ -168,6 +180,7 @@ class Manifest:
         new_files: list,
         new_watermark_lsn: int,
         schema_names: list | None = None,
+        schema_ipc: str | None = None,
         replace_buckets: dict | None = None,
         metrics: dict | None = None,
     ) -> "Manifest":
@@ -201,6 +214,7 @@ class Manifest:
             schema_version=self.schema_version
             + (1 if schema_names and schema_names != self.schema_names else 0),
             schema_names=schema_names or self.schema_names,
+            schema_ipc=schema_ipc or self.schema_ipc,
             buckets=buckets,
             metrics=metrics or {},
         )
@@ -217,6 +231,7 @@ class Manifest:
             "salt_factor": self.salt_factor,
             "schema_version": self.schema_version,
             "schema_names": self.schema_names,
+            "schema_ipc": self.schema_ipc,
             "buckets": self.buckets,
             "metrics": self.metrics,
         }
@@ -274,7 +289,8 @@ class Manifest:
         version, and storage is reclaimed only when a version is expired
         together with its exclusively-owned files."""
         versions = self._retained_versions()
-        expired = [v for v in versions[:-keep_last] if v != self.version]
+        cut = versions[:-keep_last] if keep_last > 0 else versions
+        expired = [v for v in cut if v != self.version]
         mdir = os.path.join(self.lake_dir, MANIFEST_DIR)
         for v in expired:
             os.remove(os.path.join(mdir, f"v{v:06d}.json"))

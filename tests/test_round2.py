@@ -328,7 +328,8 @@ def test_simhash_pair_kernel_matches_naive():
     df = pd.DataFrame({
         "doc_id": doc, "block_id": block_id, "block_val": block_val,
         "simhash": sims[doc],
-    }).drop_duplicates(["doc_id", "block_id"])
+    })  # duplicate (doc, block) rows left in deliberately: the kernel
+    # must not emit self-pairs for them
 
     got = simhash_candidate_pairs_partition(df, max_hamming=40)
     naive = set()

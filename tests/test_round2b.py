@@ -299,6 +299,8 @@ def test_variant_pack_roundtrip_and_parquet(tmp_path):
 
     with pytest.raises(TypeError):
         pack_variants([{"a": 1}])
+    with pytest.raises(TypeError):
+        pack_variants([[1, 2]])  # list branch is list[str] — no silent str()
 
 
 # ---------------------------------------------------------------------------
@@ -371,3 +373,83 @@ def test_ivf_indexed_partition_pruning(ray_session, tmp_path):
     bf_pairs = set(map(tuple, to_pandas(ann_topk(SF, 5, 5))[["qid", "vec_id"]].to_numpy()))
     ap_pairs = set(map(tuple, approx[["qid", "vec_id"]].to_numpy()))
     assert len(ap_pairs & bf_pairs) / len(bf_pairs) >= 0.5
+
+
+def test_cross_run_evolution_uniform_read_schema(ray_session, tmp_path):
+    """Schema evolved by a LATER run must appear on EVERY bucket's output
+    (null-filled where absent) — the committed manifest schema governs the
+    read, so exports carry one uniform schema (code-review r02 finding)."""
+    from clinical_trials_etl_ray.pipelines.replay import replay
+    from clinical_trials_etl_ray.stages.merge import read_final_table
+
+    binlog = tmp_path / "binlog"
+    binlog.mkdir()
+    # run 1: many keys, no nested column
+    _shard(
+        [{"lsn": i, "op": "insert", "conv_id": f"c{i}", "turn_idx": 0,
+          "role": "user", "text": f"t{i}"} for i in range(20)],
+        str(binlog / "s0.parquet"), with_nested=False,
+    )
+    lake = str(tmp_path / "lake")
+    replay(str(binlog), lake, num_buckets=4, files_per_chunk=1)
+
+    # run 2 (separate replay): ONE new shard introduces tool_calls,
+    # touching at most one bucket
+    _shard(
+        [{"lsn": 100, "op": "insert", "conv_id": "zz", "turn_idx": 0,
+          "role": "tool", "text": "x",
+          "tool_calls": [{"name": "f", "args": "{}"}]}],
+        str(binlog / "s1.parquet"), with_nested=True,
+    )
+    replay(str(binlog), lake, num_buckets=4, files_per_chunk=1)
+
+    ds = read_final_table(lake)
+    blocks = list(ds.iter_batches(batch_format="pyarrow"))
+    # EVERY block (bucket) carries the evolved column — uniform schema
+    assert all("tool_calls" in b.schema.names for b in blocks if b.num_rows)
+    t = pa.concat_tables(blocks)
+    assert t.num_rows == 21
+
+    # the export round-trips with the evolved column intact
+    out = str(tmp_path / "export")
+    ds2 = read_final_table(lake)
+    ds2.write_parquet(out)
+    back = pq.read_table(out)
+    assert "tool_calls" in back.schema.names
+    assert back.num_rows == 21
+
+
+def test_join_with_nested_payload_column(ray_session):
+    """copartition_join over rows carrying a list<struct> payload (Acero
+    rejects nested non-key columns; the pandas fallback must engage)."""
+    import ray.data
+
+    from clinical_trials_etl_ray.stages.join import copartition_join
+
+    left = pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "calls": pa.array(
+            [[{"name": "a", "args": "{}"}], None,
+             [{"name": "b", "args": "1"}, {"name": "c", "args": "2"}]],
+            TOOL_CALLS_T,
+        ),
+    })
+    right = pa.table({"k": pa.array([1, 3, 4], pa.int64()),
+                      "rv": pa.array([10, 30, 40], pa.int64())})
+    l_ds = ray.data.from_arrow(left)
+    r_ds = ray.data.from_arrow(right)
+
+    out = pa.concat_tables(
+        list(copartition_join(l_ds, r_ds, on="k").iter_batches(
+            batch_format="pyarrow"))
+    ).sort_by("k")
+    assert out["k"].to_pylist() == [1, 3]
+    assert out["rv"].to_pylist() == [10, 30]
+    assert out["calls"].to_pylist()[1][0]["name"] == "b"
+
+    anti = pa.concat_tables(
+        list(copartition_join(l_ds, r_ds, on="k", how="anti").iter_batches(
+            batch_format="pyarrow"))
+    )
+    assert anti["k"].to_pylist() == [2]
+    assert anti["calls"].to_pylist() == [None]
