@@ -30,6 +30,34 @@ def bucket_dir(lake_dir: str, bucket: int) -> str:
     return os.path.join(lake_dir, DATA_DIR, f"bucket={bucket:05d}")
 
 
+class ConcurrentWriterError(RuntimeError):
+    """Another writer published this manifest version first. The losing
+    writer must reload the current manifest and retry (or abort) — its
+    staged data files are unreferenced and will be collected as orphans."""
+
+
+def _exclusive_write(path: str, payload: str) -> None:
+    """Create-exclusive publish of an immutable version file: the version
+    number is the optimistic-concurrency token. A racing writer loses with
+    ConcurrentWriterError instead of silently overwriting lineage; a crash
+    RETRY that re-publishes byte-identical content is accepted
+    (idempotent)."""
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+    except FileExistsError:
+        with open(path) as f:
+            if f.read() == payload:
+                return  # identical re-publish (crash retry) — fine
+        raise ConcurrentWriterError(
+            f"manifest version file {path!r} was published by another "
+            "writer — reload the manifest and retry"
+        ) from None
+    with os.fdopen(fd, "w") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+
+
 def _atomic_write(path: str, payload: str) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -73,17 +101,37 @@ class Manifest:
         m._publish()
         return m
 
+    @staticmethod
+    def _versions_on_disk(lake_dir: str) -> list:
+        mdir = os.path.join(lake_dir, MANIFEST_DIR)
+        if not os.path.isdir(mdir):
+            return []
+        out = []
+        for name in os.listdir(mdir):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    out.append(int(name[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
     @classmethod
     def exists(cls, lake_dir: str) -> bool:
         """True when ``lake_dir`` holds a committed lake (layout knowledge
         stays in this module)."""
-        return os.path.exists(os.path.join(lake_dir, MANIFEST_DIR, "CURRENT"))
+        return bool(cls._versions_on_disk(lake_dir))
 
     @classmethod
     def load(cls, lake_dir: str) -> "Manifest":
-        cur = os.path.join(lake_dir, MANIFEST_DIR, "CURRENT")
-        with open(cur) as f:
-            version = int(f.read().strip())
+        # the NEWEST version file is authoritative (its exclusive create IS
+        # the commit); CURRENT is a convenience cache that may lag by one
+        # after a crash between the two writes
+        versions = cls._versions_on_disk(lake_dir)
+        if not versions:
+            raise FileNotFoundError(
+                f"no manifest versions under {lake_dir!r}"
+            )
+        version = versions[-1]
         with open(os.path.join(lake_dir, MANIFEST_DIR, f"v{version:06d}.json")) as f:
             doc = json.load(f)
         return cls(
@@ -124,8 +172,7 @@ class Manifest:
     def load_or_create(
         cls, lake_dir: str, num_buckets: int, salt_factor: int = 1
     ) -> "Manifest":
-        cur = os.path.join(lake_dir, MANIFEST_DIR, "CURRENT")
-        if os.path.exists(cur):
+        if cls.exists(lake_dir):
             m = cls.load(lake_dir)
             if m.num_buckets != num_buckets:
                 raise ValueError(
@@ -186,6 +233,12 @@ class Manifest:
     ) -> "Manifest":
         """Publish version+1 referencing prior files + ``new_files``.
 
+        Single-writer-per-lake is enforced optimistically: the version
+        file's create-exclusive publish is the commit point, so a second
+        writer racing to the same version number fails with
+        ConcurrentWriterError (and its staged files remain unreferenced
+        orphans) instead of silently overwriting lineage.
+
         new_files: [{bucket, path, kind, content_hash, row_count, min_lsn,
         max_lsn}]. ``new_watermark_lsn`` advances EVERY bucket (chunk commits
         cover a total LSN range, so untouched buckets are durably
@@ -235,22 +288,17 @@ class Manifest:
             "buckets": self.buckets,
             "metrics": self.metrics,
         }
-        _atomic_write(os.path.join(mdir, f"v{self.version:06d}.json"), json.dumps(doc, indent=1))
+        _exclusive_write(
+            os.path.join(mdir, f"v{self.version:06d}.json"),
+            json.dumps(doc, indent=1),
+        )
         _atomic_write(os.path.join(mdir, "CURRENT"), str(self.version))
 
     # ---------- maintenance ----------
 
     def _retained_versions(self) -> list:
         """Version numbers of every manifest snapshot still on disk."""
-        mdir = os.path.join(self.lake_dir, MANIFEST_DIR)
-        out = []
-        for name in os.listdir(mdir):
-            if name.startswith("v") and name.endswith(".json"):
-                try:
-                    out.append(int(name[1:-5]))
-                except ValueError:
-                    continue
-        return sorted(out)
+        return self._versions_on_disk(self.lake_dir)
 
     def cleanup_orphans(self, all_versions: bool = True) -> list:
         """Delete staged data files referenced by NO manifest snapshot.

@@ -96,3 +96,39 @@ def test_manifest_cleanup_orphans(tmp_path):
     removed = m2.cleanup_orphans()
     assert removed == ["data/bucket=00001/delta-orphan.parquet"]
     assert os.path.exists(ref) and not os.path.exists(orphan)
+
+
+def test_concurrent_commit_raises_not_overwrites(tmp_path):
+    import pytest
+    """Two writers holding the same manifest version: the first commit wins
+    (create-exclusive version file IS the commit point); the second raises
+    ConcurrentWriterError instead of silently replacing lineage. A crash
+    retry that re-publishes byte-identical content is accepted."""
+    from clinical_trials_etl_ray.state.manifest import (
+        ConcurrentWriterError,
+        Manifest,
+    )
+
+    lake = str(tmp_path / "lake")
+    m = Manifest.create(lake, num_buckets=4)
+    a = Manifest.load(lake)
+    b = Manifest.load(lake)
+
+    fa = [{"bucket": 0, "path": "data/bucket=00000/delta-a.parquet",
+           "kind": "delta", "content_hash": "a", "row_count": 1,
+           "min_lsn": 0, "max_lsn": 0}]
+    fb = [{"bucket": 1, "path": "data/bucket=00001/delta-b.parquet",
+           "kind": "delta", "content_hash": "b", "row_count": 1,
+           "min_lsn": 0, "max_lsn": 0}]
+    a2 = a.commit(fa, new_watermark_lsn=0)
+    with pytest.raises(ConcurrentWriterError):
+        b.commit(fb, new_watermark_lsn=0)
+
+    # winner's lineage intact; loser's file never referenced
+    cur = Manifest.load(lake)
+    assert cur.version == a2.version
+    assert "data/bucket=00000/delta-a.parquet" in cur.all_files()
+    assert "data/bucket=00001/delta-b.parquet" not in cur.all_files()
+
+    # idempotent identical re-publish does not raise
+    a2._publish()
