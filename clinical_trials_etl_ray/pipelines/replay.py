@@ -248,10 +248,26 @@ def replay(
     # columns included) — metadata only, no data read. The manifest's
     # previously committed schema joins the union, so columns evolved by an
     # EARLIER run survive even when this run's shards lack them.
-    from ..schema import schema_from_b64, schema_to_b64, union_event_schema
+    from ..schema import EVENT_SCHEMA, schema_from_b64, schema_to_b64, union_event_schema
 
     metas = _shard_metas(shard_paths)
-    prior = [schema_from_b64(man.schema_ipc)] if man.schema_ipc else []
+    if man.schema_ipc:
+        prior = [schema_from_b64(man.schema_ipc)]
+    elif set(man.schema_names) - set(EVENT_SCHEMA.names):
+        # legacy lake (pre-schema_ipc manifests) with evolved columns whose
+        # TYPES were never recorded: recover them from the committed files'
+        # footers so this run cannot narrow the committed schema
+        lake_files = [
+            os.path.join(lake_dir, f["path"])
+            for b in range(man.num_buckets)
+            for f in man.files_for_bucket(b)
+        ]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(32, max(1, len(lake_files)))) as ex:
+            prior = list(ex.map(pq.read_schema, lake_files))
+    else:
+        prior = []
     target_schema = union_event_schema(
         prior + [metas[p][3] for p in shard_paths]
     )

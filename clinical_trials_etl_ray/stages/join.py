@@ -214,7 +214,11 @@ def copartition_join(
         if not has_nested:
             return lf.join(rf, keys=on_cols, join_type=arrow_how)
 
-        ldf, rdf = lf.to_pandas(), rf.to_pandas()
+        # ArrowDtype round-trip: int64-with-nulls stays int64 (no float64
+        # upcast — a ≥2^53 id would silently round) and nested values keep
+        # their exact Arrow representation through the merge
+        ldf = lf.to_pandas(types_mapper=pd.ArrowDtype)
+        rdf = rf.to_pandas(types_mapper=pd.ArrowDtype)
         l_null = ldf[on_cols].isna().any(axis=1)
         ldf_null, ldf = ldf[l_null], ldf[~l_null]
         rdf = rdf[~rdf[on_cols].isna().any(axis=1)]
@@ -229,15 +233,13 @@ def copartition_join(
             out = ldf.merge(rdf, on=on_cols, how=how)
             if how == "left" and len(ldf_null):
                 out = pd.concat([out, ldf_null.reindex(columns=out.columns)])
-        arrays = []
-        for f in out_fields:
-            try:
-                # NaN → null, then a safe cast back to the unified dtype
-                col = pa.Array.from_pandas(out[f.name], type=f.type)
-            except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
-                    pa.ArrowTypeError):
-                col = pa.Array.from_pandas(out[f.name])
-            arrays.append(col)
+        # strict conversion back to the unified schema: ArrowDtype preserved
+        # the exact types through the merge, so any failure here is a real
+        # bug and must raise loudly (a silent dtype downgrade would give
+        # this bucket's blocks a different schema from its siblings)
+        arrays = [
+            pa.Array.from_pandas(out[f.name], type=f.type) for f in out_fields
+        ]
         return pa.Table.from_arrays(
             arrays, names=[f.name for f in out_fields]
         )

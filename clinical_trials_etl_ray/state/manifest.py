@@ -37,14 +37,24 @@ class ConcurrentWriterError(RuntimeError):
 
 
 def _exclusive_write(path: str, payload: str) -> None:
-    """Create-exclusive publish of an immutable version file: the version
-    number is the optimistic-concurrency token. A racing writer loses with
+    """Create-exclusive AND atomic publish of an immutable version file:
+    the payload is fully written+fsynced to a temp file first, then
+    ``os.link``ed into place — link fails if the target exists (the
+    optimistic-concurrency token) and the target can never be observed
+    torn (readers see a complete file or none; a SIGKILL mid-publish
+    leaves only the temp file). A racing writer loses with
     ConcurrentWriterError instead of silently overwriting lineage; a crash
     RETRY that re-publishes byte-identical content is accepted
     (idempotent)."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        os.link(tmp, path)
     except FileExistsError:
+        os.remove(tmp)
         with open(path) as f:
             if f.read() == payload:
                 return  # identical re-publish (crash retry) — fine
@@ -52,10 +62,7 @@ def _exclusive_write(path: str, payload: str) -> None:
             f"manifest version file {path!r} was published by another "
             "writer — reload the manifest and retry"
         ) from None
-    with os.fdopen(fd, "w") as f:
-        f.write(payload)
-        f.flush()
-        os.fsync(f.fileno())
+    os.remove(tmp)
 
 
 def _atomic_write(path: str, payload: str) -> None:

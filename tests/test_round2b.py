@@ -453,3 +453,74 @@ def test_join_with_nested_payload_column(ray_session):
     )
     assert anti["k"].to_pylist() == [2]
     assert anti["calls"].to_pylist() == [None]
+
+
+def test_nested_fallback_join_preserves_big_int64(ray_session):
+    """The pandas fallback must not round-trip int64 through float64: ids
+    above 2^53 have to survive exactly (code-review r02b finding)."""
+    import ray.data
+
+    from clinical_trials_etl_ray.stages.join import copartition_join
+
+    big = [9007199254740993, 9007199254740995, 9007199254741001]  # > 2^53
+    left = pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "big_id": pa.array(big, pa.int64()),
+        "calls": pa.array([[{"name": "x", "args": "{}"}]] * 3, TOOL_CALLS_T),
+    })
+    right = pa.table({"k": pa.array([1, 2, None], pa.int64()),
+                      "rv": pa.array([10, 20, 30], pa.int64())})
+    out = pa.concat_tables(list(
+        copartition_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                         on="k", how="left").iter_batches(batch_format="pyarrow")
+    )).sort_by("k")
+    assert out["big_id"].to_pylist() == big  # exact, no float rounding
+    assert out.schema.field("big_id").type == pa.int64()
+    assert out.schema.field("rv").type == pa.int64()
+    assert out["rv"].to_pylist() == [10, 20, None]  # null key never matched
+
+
+def test_legacy_lake_schema_not_narrowed(ray_session, tmp_path):
+    """A lake whose manifests predate schema_ipc (evolved column types never
+    recorded) must not have its schema narrowed by a later run whose shards
+    lack the evolved column — recovery comes from committed file footers."""
+    import glob
+    import json as _json
+
+    from clinical_trials_etl_ray.pipelines.replay import replay
+    from clinical_trials_etl_ray.stages.merge import read_final_table
+
+    binlog = tmp_path / "binlog"
+    binlog.mkdir()
+    _shard(
+        [{"lsn": 1, "op": "insert", "conv_id": "a", "turn_idx": 0,
+          "role": "user", "text": "hi",
+          "tool_calls": [{"name": "f", "args": "{}"}]}],
+        str(binlog / "s0.parquet"), with_nested=True,
+    )
+    lake = str(tmp_path / "lake")
+    replay(str(binlog), lake, num_buckets=4, files_per_chunk=1)
+
+    # simulate a pre-schema_ipc manifest (types were never recorded)
+    vfile = sorted(glob.glob(os.path.join(lake, "manifest", "v*.json")))[-1]
+    doc = _json.load(open(vfile))
+    assert doc["schema_ipc"]
+    doc["schema_ipc"] = None
+    with open(vfile, "w") as f:
+        _json.dump(doc, f)
+
+    # a later run WITHOUT the evolved column must not narrow the schema
+    _shard(
+        [{"lsn": 2, "op": "insert", "conv_id": "b", "turn_idx": 0,
+          "role": "user", "text": "yo"}],
+        str(binlog / "s1.parquet"), with_nested=False,
+    )
+    replay(str(binlog), lake, num_buckets=4, files_per_chunk=1)
+
+    t = pa.concat_tables(
+        list(read_final_table(lake).iter_batches(batch_format="pyarrow"))
+    ).sort_by("conv_id")
+    assert "tool_calls" in t.schema.names
+    rows = t.to_pylist()
+    assert rows[0]["tool_calls"] == [{"name": "f", "args": "{}"}]
+    assert rows[1]["tool_calls"] is None
