@@ -251,26 +251,49 @@ def replay(
     from ..schema import EVENT_SCHEMA, schema_from_b64, schema_to_b64, union_event_schema
 
     metas = _shard_metas(shard_paths)
+    legacy_recovery = False
+    missing_names = set(man.schema_names) - set(EVENT_SCHEMA.names)
     if man.schema_ipc:
         prior = [schema_from_b64(man.schema_ipc)]
-    elif set(man.schema_names) - set(EVENT_SCHEMA.names):
+    elif missing_names:
         # legacy lake (pre-schema_ipc manifests) with evolved columns whose
         # TYPES were never recorded: recover them from the committed files'
-        # footers so this run cannot narrow the committed schema
+        # footers so this run cannot narrow the committed schema. Footers
+        # are read in parallel batches and the sweep STOPS as soon as every
+        # evolved name has a recovered type.
+        legacy_recovery = True
+        from concurrent.futures import ThreadPoolExecutor
+
         lake_files = [
             os.path.join(lake_dir, f["path"])
             for b in range(man.num_buckets)
             for f in man.files_for_bucket(b)
         ]
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=min(32, max(1, len(lake_files)))) as ex:
-            prior = list(ex.map(pq.read_schema, lake_files))
+        prior = []
+        todo = set(missing_names)
+        with ThreadPoolExecutor(max_workers=32) as ex:
+            for i in range(0, len(lake_files), 64):
+                if not todo:
+                    break
+                batch = list(ex.map(pq.read_schema, lake_files[i : i + 64]))
+                prior.extend(batch)
+                for s in batch:
+                    todo -= set(s.names)
     else:
         prior = []
     target_schema = union_event_schema(
         prior + [metas[p][3] for p in shard_paths]
     )
+    narrowed = set(man.schema_names) - set(target_schema.names)
+    if narrowed:
+        # a declared evolved column whose type is unrecoverable (e.g. its
+        # only carrier was tombstone-compacted away): refuse to narrow the
+        # committed schema rather than silently dropping the column
+        raise ValueError(
+            f"committed schema declares columns {sorted(narrowed)} whose "
+            "types cannot be recovered from any committed file — pass the "
+            "binlog shards that carry them or rebuild the manifest schema"
+        )
     report = ReplayReport()
     chunks = plan_chunks(shard_paths, files_per_chunk, disorder_bound, metas=metas)
     report.chunks_total = len(chunks)
@@ -353,6 +376,18 @@ def replay(
         report.rows_deduped += rows_deduped
         report.stale_skipped += stale_skipped
         report.delta_rows_written += delta_rows
+
+    if legacy_recovery and report.chunks_applied == 0:
+        # persist the recovered schema even when every chunk was skipped —
+        # otherwise each later run of this legacy lake repeats the footer
+        # sweep forever
+        man = man.commit(
+            [],
+            new_watermark_lsn=man.global_watermark(),
+            schema_names=list(target_schema.names),
+            schema_ipc=schema_to_b64(target_schema),
+            metrics={"schema_recovery": True},
+        )
 
     report.final_version = man.version
     return report

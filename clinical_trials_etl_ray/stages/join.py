@@ -227,22 +227,32 @@ def copartition_join(
             m = ldf.merge(keys, on=on_cols, how="left", indicator=True)
             want = "both" if how == "semi" else "left_only"
             out = m[m["_merge"] == want].drop(columns="_merge")
-            if how == "anti" and len(ldf_null):
-                out = pd.concat([out, ldf_null])
         else:
             out = ldf.merge(rdf, on=on_cols, how=how)
-            if how == "left" and len(ldf_null):
-                out = pd.concat([out, ldf_null.reindex(columns=out.columns)])
         # strict conversion back to the unified schema: ArrowDtype preserved
         # the exact types through the merge, so any failure here is a real
         # bug and must raise loudly (a silent dtype downgrade would give
         # this bucket's blocks a different schema from its siblings)
-        arrays = [
-            pa.Array.from_pandas(out[f.name], type=f.type) for f in out_fields
-        ]
-        return pa.Table.from_arrays(
-            arrays, names=[f.name for f in out_fields]
+        tbl = pa.Table.from_arrays(
+            [pa.Array.from_pandas(out[f.name], type=f.type) for f in out_fields],
+            names=[f.name for f in out_fields],
         )
+        if how in ("anti", "left") and len(ldf_null):
+            # null-keyed probe rows are appended in ARROW (a pandas concat
+            # would promote the all-null right columns to float64, rounding
+            # big int64 ids — and its all-NA exclusion is deprecated)
+            null_arrays = []
+            for f in out_fields:
+                if f.name in ldf_null.columns:
+                    null_arrays.append(
+                        pa.Array.from_pandas(ldf_null[f.name], type=f.type)
+                    )
+                else:
+                    null_arrays.append(pa.nulls(len(ldf_null), f.type))
+            tbl = pa.concat_tables(
+                [tbl, pa.Table.from_arrays(null_arrays, names=tbl.column_names)]
+            )
+        return tbl
 
     return tagged.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
 

@@ -46,23 +46,31 @@ def _exclusive_write(path: str, payload: str) -> None:
     ConcurrentWriterError instead of silently overwriting lineage; a crash
     RETRY that re-publishes byte-identical content is accepted
     (idempotent)."""
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        f.write(payload)
-        f.flush()
-        os.fsync(f.fileno())
+    import uuid
+
+    # uniqueness must hold ACROSS hosts/containers sharing the lake (two
+    # containerized drivers can both be PID 1) — uuid4, not pid
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     try:
-        os.link(tmp, path)
-    except FileExistsError:
-        os.remove(tmp)
-        with open(path) as f:
-            if f.read() == payload:
-                return  # identical re-publish (crash retry) — fine
-        raise ConcurrentWriterError(
-            f"manifest version file {path!r} was published by another "
-            "writer — reload the manifest and retry"
-        ) from None
-    os.remove(tmp)
+        with open(tmp, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            with open(path) as f:
+                if f.read() == payload:
+                    return  # identical re-publish (crash retry) — fine
+            raise ConcurrentWriterError(
+                f"manifest version file {path!r} was published by another "
+                "writer — reload the manifest and retry"
+            ) from None
+    finally:
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass
 
 
 def _atomic_write(path: str, payload: str) -> None:
@@ -335,6 +343,15 @@ class Manifest:
                 if rel not in referenced:
                     os.remove(full)
                     removed.append(rel)
+        # crashed publishes can strand manifest temp files; sweep them too
+        mdir = os.path.join(self.lake_dir, MANIFEST_DIR)
+        for name in os.listdir(mdir):
+            if ".tmp." in name:
+                try:
+                    os.remove(os.path.join(mdir, name))
+                    removed.append(os.path.join(MANIFEST_DIR, name))
+                except FileNotFoundError:
+                    pass
         return removed
 
     def expire_versions(self, keep_last: int = 2) -> list:

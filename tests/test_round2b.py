@@ -524,3 +524,17 @@ def test_legacy_lake_schema_not_narrowed(ray_session, tmp_path):
     rows = t.to_pylist()
     assert rows[0]["tool_calls"] == [{"name": "f", "args": "{}"}]
     assert rows[1]["tool_calls"] is None
+
+    # a NO-OP legacy run (all chunks skipped) must persist the recovered
+    # schema so later runs don't repeat the footer sweep
+    from clinical_trials_etl_ray.state.manifest import Manifest
+
+    vfile2 = sorted(glob.glob(os.path.join(lake, "manifest", "v*.json")))[-1]
+    doc2 = _json.load(open(vfile2))
+    doc2["schema_ipc"] = None
+    with open(vfile2, "w") as f:
+        _json.dump(doc2, f)
+    replay(str(binlog), lake, num_buckets=4, files_per_chunk=1)
+    m = Manifest.load(lake)
+    assert m.schema_ipc is not None
+    assert m.metrics.get("schema_recovery") is True
