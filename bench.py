@@ -196,8 +196,14 @@ def run_scaling() -> dict:
         int(os.environ.get("GRAFT_SCALING_CPUS_LO", "1")),
         int(os.environ.get("GRAFT_SCALING_CPUS_HI", "4")),
     )
-    lo_runs = [run(n_lo) for _ in range(trials)]
-    hi_runs = [run(n_hi) for _ in range(trials)]
+    # INTERLEAVE levels: host contention drifts on minute scales, so
+    # running all lo trials then all hi trials biases the ratio by whatever
+    # the machine did in between; alternating exposes both levels to the
+    # same contention trajectory
+    lo_runs, hi_runs = [], []
+    for _ in range(trials):
+        lo_runs.append(run(n_lo))
+        hi_runs.append(run(n_hi))
     lo = min(lo_runs, key=lambda r: r["value"])
     hi = min(hi_runs, key=lambda r: r["value"])
     tput_lo = lo["extra"]["events_per_sec"]
