@@ -176,13 +176,15 @@ def q_near_dup_jaccard(sf_dir: str, verify: str = "join"):
     if verify == "join":
         return _join_verify(sf_dir, uniq)
 
-    texts_tbl = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    texts = dict(
-        zip(texts_tbl["doc_id"].to_pylist(), texts_tbl["text"].to_pylist())
-    )
-    ref = ray.put(texts)
+    # the text dict is built inside a Ray task and broadcast as its return
+    # ref — the driver holds only an ObjectRef even on this explicit
+    # small-corpus path
+    @ray.remote
+    def _load_texts(p: str) -> dict:
+        t = pq.read_table(p, columns=["doc_id", "text"])
+        return dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+    ref = _load_texts.remote(os.path.join(sf_dir, "documents.parquet"))
 
     class Verifier:
         def __init__(self):

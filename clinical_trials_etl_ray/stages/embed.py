@@ -421,19 +421,29 @@ class PairScorer:
 
 
 def near_dup_pairs_cosine(sf_dir: str, threshold: float = 0.4):
-    """Exact all-pairs cosine ≥ threshold (broadcast variant)."""
+    """Exact all-pairs cosine ≥ threshold (broadcast variant).
+
+    The comparison matrix is built INSIDE a Ray task and broadcast as its
+    return ref — the driver never materializes the table; it holds only an
+    ObjectRef. (The matrix must still fit one worker's heap — that is the
+    inherent trade of the exact all-pairs baseline; ``near_dup_pairs_lsh``
+    is the bucketed scale path.)"""
     import os
 
-    import pyarrow.parquet as pq
     import ray
     import ray.data
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    at = pq.read_table(path, columns=["vec_id", "embedding"])
-    ref = ray.put(
-        {"ids": at.column("vec_id").to_numpy(zero_copy_only=False),
-         "matrix": table_to_matrix(at)}
-    )
+
+    @ray.remote
+    def _load_matrix(p: str) -> dict:
+        import pyarrow.parquet as pq
+
+        at = pq.read_table(p, columns=["vec_id", "embedding"])
+        return {"ids": at.column("vec_id").to_numpy(zero_copy_only=False),
+                "matrix": table_to_matrix(at)}
+
+    ref = _load_matrix.remote(path)
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
     return ds.map_batches(
         PairScorer,
