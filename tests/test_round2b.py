@@ -538,3 +538,53 @@ def test_legacy_lake_schema_not_narrowed(ray_session, tmp_path):
     m = Manifest.load(lake)
     assert m.schema_ipc is not None
     assert m.metrics.get("schema_recovery") is True
+
+
+# ---------------------------------------------------------------------------
+# foreign-format binlog ingestion
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_binlog_converts_and_replays_identically(ray_session, tmp_path):
+    from clinical_trials_etl_ray.pipelines.replay import replay
+    from clinical_trials_etl_ray.sources.readers import (
+        convert_binlog_shards,
+        replay_external,
+    )
+    from clinical_trials_etl_ray.stages.merge import read_final_table
+    from clinical_trials_etl_ray.synth import BinlogSpec, write_binlog_shards
+
+    pq_dir = str(tmp_path / "binlog_pq")
+    write_binlog_shards(
+        BinlogSpec(n_events=3_000, n_convs=30, seed=4, shuffle_window=32),
+        pq_dir, n_shards=3, parallel=False,
+    )
+    # re-serialize each shard as JSONL (ISO timestamps)
+    jl_dir = tmp_path / "binlog_jsonl"
+    jl_dir.mkdir()
+    import shutil
+
+    shutil.copy(os.path.join(pq_dir, "_meta.json"), str(jl_dir / "_meta.json"))
+    for f in sorted(os.listdir(pq_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        df = pq.read_table(os.path.join(pq_dir, f)).to_pandas()
+        df.to_json(str(jl_dir / (os.path.splitext(f)[0] + ".jsonl")),
+                   orient="records", lines=True, date_format="iso",
+                   date_unit="us")
+
+    conv_dir = str(tmp_path / "converted")
+    paths = convert_binlog_shards(str(jl_dir), conv_dir, fmt="jsonl")
+    assert len(paths) == 3
+    assert os.path.exists(os.path.join(conv_dir, "_meta.json"))
+
+    lake_a = str(tmp_path / "lake_native")
+    lake_b = str(tmp_path / "lake_jsonl")
+    replay(pq_dir, lake_a, num_buckets=8, files_per_chunk=2)
+    replay_external(str(jl_dir), lake_b, fmt="jsonl",
+                    work_dir=str(tmp_path / "work"),
+                    num_buckets=8, files_per_chunk=2)
+    key = ["conv_id", "turn_idx"]
+    a = read_final_table(lake_a).to_pandas().sort_values(key).reset_index(drop=True)
+    b = read_final_table(lake_b).to_pandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
