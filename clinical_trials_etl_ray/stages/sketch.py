@@ -97,3 +97,35 @@ def approx_distinct(ds, col: str, p: int = 12) -> float:
     for row in parts:
         acc.merge(HLLSketch.from_bytes(row["registers"], p))
     return acc.estimate()
+
+
+def approx_distinct_by(ds, key: str, col: str, p: int = 12):
+    """Grouped approximate distinct: one register row per (batch, key)
+    partial, merged per key in a single small groupby — the sketch analog
+    of the partial/final combine used by the exact aggregates. Returns a
+    Dataset of (key, approx_distinct). Exchange volume is
+    O(batches × keys-per-batch × 2^p bytes), independent of row count."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t.column(key).to_pandas()
+        hashes = hash_strings(t.column(col).cast(pa.string()))
+        out_k, out_r = [], []
+        for k, idx in keys.groupby(keys).groups.items():
+            s = HLLSketch(p)
+            s.add_hashes(hashes[np.asarray(idx)])
+            out_k.append(k)
+            out_r.append(s.to_bytes())
+        return pa.table({key: out_k, "registers": out_r})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        acc = HLLSketch(p)
+        for b in g["registers"]:
+            acc.merge(HLLSketch.from_bytes(b, p))
+        return pd.DataFrame(
+            {key: [g[key].iloc[0]], "approx_distinct": [acc.estimate()]}
+        )
+
+    return parts.groupby(key).map_groups(merge_group, batch_format="pandas")

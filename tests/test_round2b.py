@@ -588,3 +588,22 @@ def test_jsonl_binlog_converts_and_replays_identically(ray_session, tmp_path):
     a = read_final_table(lake_a).to_pandas().sort_values(key).reset_index(drop=True)
     b = read_final_table(lake_b).to_pandas().sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_approx_distinct_by_group(ray_session):
+    import ray.data
+
+    from clinical_trials_etl_ray.stages.sketch import approx_distinct_by
+
+    ds = ray.data.read_parquet(os.path.join(SF, "events.parquet"),
+                               columns=["event_type", "user_id"])
+    got = approx_distinct_by(ds, "event_type", "user_id", p=12).to_pandas()
+    exact = (
+        ray.data.read_parquet(os.path.join(SF, "events.parquet"),
+                              columns=["event_type", "user_id"])
+        .to_pandas().groupby("event_type")["user_id"].nunique()
+    )
+    assert set(got["event_type"]) == set(exact.index)
+    for _, row in got.iterrows():
+        e = exact[row["event_type"]]
+        assert abs(row["approx_distinct"] - e) / max(e, 1) < 0.08
