@@ -1,8 +1,8 @@
 """External-format binlog ingestion: JSONL / CSV change logs → parquet shards.
 
 Timestamps in foreign shards must be ISO-8601 strings (or native
-timestamps); bare epoch integers are rejected by the cast rather than
-guessed at (ms vs us ambiguity).
+timestamps); bare epoch integers are rejected EXPLICITLY (an int64→us cast
+would silently misread epoch-milliseconds as microseconds).
 
 The replay hot path is parquet-only on purpose (footer LSN stats drive
 chunk planning and resume pruning), so foreign formats are converted ONCE,
@@ -22,8 +22,6 @@ import os
 
 import pyarrow as pa
 
-from ..schema import EVENT_SCHEMA
-
 _EXTS = {"jsonl": (".jsonl", ".ndjson", ".json"), "csv": (".csv",)}
 
 
@@ -35,9 +33,19 @@ def _read_one(path: str, fmt: str) -> pa.Table:
     elif fmt == "csv":
         import pyarrow.csv as pcsv
 
-        t = pcsv.read_csv(path)
+        # empty CSV cells are NULL (not ''), matching the native parquet
+        # representation of delete tombstones / pre-evolution rows
+        t = pcsv.read_csv(
+            path,
+            convert_options=pcsv.ConvertOptions(strings_can_be_null=True),
+        )
     else:
         raise ValueError(f"unsupported binlog format {fmt!r}")
+    if "ts" in t.column_names and pa.types.is_integer(t.schema.field("ts").type):
+        raise ValueError(
+            f"{path!r}: ts is a bare epoch integer — emit ISO-8601 strings "
+            "or native timestamps (epoch ms vs us is ambiguous)"
+        )
     # normalize inferred column types onto the event schema (JSON infers
     # ints for timestamps-as-epoch etc.); extra columns ride along for
     # additive evolution
@@ -64,6 +72,13 @@ def convert_binlog_shards(
     )
     if not names:
         raise FileNotFoundError(f"no .{fmt} shards under {src_dir!r}")
+    stems = [os.path.splitext(n)[0] for n in names]
+    dupes = {x for x in stems if stems.count(x) > 1}
+    if dupes:
+        raise ValueError(
+            f"source shards collide on parquet stems {sorted(dupes)} — "
+            "rename them; a silent overwrite would drop a shard's events"
+        )
     os.makedirs(out_dir, exist_ok=True)
     meta = os.path.join(src_dir, "_meta.json")
     if os.path.exists(meta):
@@ -91,11 +106,18 @@ def replay_external(
     src_dir: str, lake_dir: str, fmt: str = "jsonl", work_dir: str | None = None,
     **replay_kwargs,
 ):
-    """Convenience: convert a foreign-format binlog then replay it."""
+    """Convenience: convert a foreign-format binlog then replay it. The
+    converted parquet copy is removed after the replay when this function
+    created the temp dir (pass ``work_dir`` to keep it)."""
+    import shutil
     import tempfile
 
     from ..pipelines.replay import replay
 
     out = work_dir or tempfile.mkdtemp(prefix="binlog_pq_", dir="/tmp")
-    convert_binlog_shards(src_dir, out, fmt=fmt)
-    return replay(out, lake_dir, **replay_kwargs)
+    try:
+        convert_binlog_shards(src_dir, out, fmt=fmt)
+        return replay(out, lake_dir, **replay_kwargs)
+    finally:
+        if work_dir is None:
+            shutil.rmtree(out, ignore_errors=True)

@@ -105,13 +105,12 @@ def approx_distinct_by(ds, key: str, col: str, p: int = 12):
     of the partial/final combine used by the exact aggregates. Returns a
     Dataset of (key, approx_distinct). Exchange volume is
     O(batches × keys-per-batch × 2^p bytes), independent of row count."""
-    import pandas as pd
-
     def partial(t: pa.Table) -> pa.Table:
         keys = t.column(key).to_pandas()
         hashes = hash_strings(t.column(col).cast(pa.string()))
         out_k, out_r = [], []
-        for k, idx in keys.groupby(keys).groups.items():
+        # dropna=False: the NULL key forms its own group, as SQL GROUP BY does
+        for k, idx in keys.groupby(keys, dropna=False).groups.items():
             s = HLLSketch(p)
             s.add_hashes(hashes[np.asarray(idx)])
             out_k.append(k)

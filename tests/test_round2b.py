@@ -607,3 +607,44 @@ def test_approx_distinct_by_group(ray_session):
     for _, row in got.iterrows():
         e = exact[row["event_type"]]
         assert abs(row["approx_distinct"] - e) / max(e, 1) < 0.08
+
+
+def test_csv_binlog_nulls_and_epoch_rejection(ray_session, tmp_path):
+    """CSV ingestion must keep empty cells NULL (delete tombstones), and
+    bare epoch-integer timestamps must be rejected, not misread as us."""
+    from clinical_trials_etl_ray.sources.readers import convert_binlog_shards
+
+    src = tmp_path / "csv_src"
+    src.mkdir()
+    (src / "events-0.csv").write_text(
+        "lsn,op,conv_id,turn_idx,role,text,ts\n"
+        "1,insert,a,0,user,hi,2023-11-14T22:13:20.000001\n"
+        "2,delete,a,0,,,2023-11-14T22:13:21\n"
+    )
+    out = str(tmp_path / "csv_pq")
+    paths = convert_binlog_shards(str(src), out, fmt="csv", parallel=False)
+    t = pq.read_table(paths[0])
+    assert t["role"].to_pylist() == ["user", None]  # '' would break deletes
+    assert t["text"].to_pylist() == ["hi", None]
+    assert t["ts"].to_pylist()[0].microsecond == 1
+
+    bad = tmp_path / "csv_bad"
+    bad.mkdir()
+    (bad / "events-0.csv").write_text(
+        "lsn,op,conv_id,turn_idx,role,text,ts\n1,insert,a,0,u,x,1700000000000\n"
+    )
+    with pytest.raises(ValueError, match="epoch"):
+        convert_binlog_shards(str(bad), str(tmp_path / "csv_bad_pq"),
+                              fmt="csv", parallel=False)
+
+
+def test_shard_stem_collisions_rejected(tmp_path):
+    from clinical_trials_etl_ray.sources.readers import convert_binlog_shards
+
+    src = tmp_path / "collide"
+    src.mkdir()
+    (src / "a.jsonl").write_text('{"lsn": 1}\n')
+    (src / "a.ndjson").write_text('{"lsn": 2}\n')
+    with pytest.raises(ValueError, match="collide"):
+        convert_binlog_shards(str(src), str(tmp_path / "out"),
+                              fmt="jsonl", parallel=False)
