@@ -43,17 +43,28 @@ _ORACLE_FIRST = [
     "ann_topk_ivf",
     "near_dup_cosine",
     "token_counts",
-    "punct_stats",
     "fingerprint_md5",
-]
-
-# registered but deliberately beyond the driver's 50-query window: rows-only
-# entries and analytics whose operator coverage duplicates a greener query
-_TAIL = [
+    # as-of / range joins, composed training-data prep, per-row validation —
+    # the most complex operators in the repo; rotated into the window in r3
+    # so their DuckDB oracles get driver-run evidence (they were
+    # pytest-only through r2)
     "order_last_event_asof",
     "order_followups_window",
     "training_data_prep",
     "validate_events",
+]
+
+# registered but deliberately beyond the driver's 50-query window: rows-only
+# entries and analytics whose operator coverage duplicates a greener query
+# (orders_page→K5 via orders_filtered_page, docs_containing_the→J2 via
+# events_error_scan, top_tokens→A-series via segment_word_top20,
+# punct_stats→C-series via clean_text_documents; all four stay oracle-pinned
+# in pytest)
+_TAIL = [
+    "punct_stats",
+    "docs_containing_the",
+    "top_tokens",
+    "orders_page",
     "quality_scores",
     "lang_id",
     "fingerprint_rolling",

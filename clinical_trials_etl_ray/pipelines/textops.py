@@ -124,13 +124,18 @@ def q_fingerprint_rolling(sf_dir: str):
 
 JACCARD_THRESHOLD = 0.8
 
-# corpora whose compressed text payload exceeds this are verified via the
-# co-partitioned join path; below it the texts fit one worker's heap and the
-# broadcast path avoids the join's two exchanges
+# corpora whose UNCOMPRESSED text payload (parquet row-group total_byte_size)
+# exceeds this are verified via the co-partitioned join path; below it the
+# decoded texts fit one worker's heap and the broadcast path avoids the
+# join's two exchanges
 BROADCAST_VERIFY_MAX_BYTES = 256 << 20
 
 
-def _docs_compressed_bytes(sf_dir: str) -> int:
+def _docs_uncompressed_bytes(sf_dir: str) -> int:
+    """In-memory (uncompressed) footprint estimate of the documents table
+    from parquet metadata — ``total_byte_size`` is the UNCOMPRESSED row-group
+    size, which is the right quantity to compare against a worker-heap
+    broadcast budget (the Verifier holds decoded Python strings)."""
     import pyarrow.parquet as pq
 
     md = pq.read_metadata(os.path.join(sf_dir, "documents.parquet"))
@@ -139,18 +144,19 @@ def _docs_compressed_bytes(sf_dir: str) -> int:
     )
 
 
-def q_near_dup_jaccard(sf_dir: str, verify: str = "join"):
+def q_near_dup_jaccard(sf_dir: str, verify: str = "auto"):
     """MinHash(128) + LSH(32×4) candidates + exact word-3gram Jaccard verify
     ≥ 0.8. With these band parameters the miss probability at j≥0.8 is
     <5e-8, so the output equals the exact all-pairs SQL oracle w.h.p.
 
-    verify="join" (default — the 100-TB path): pair ids are joined back to
+    verify="auto" (default): picks by the parquet-metadata uncompressed
+    corpus size against BROADCAST_VERIFY_MAX_BYTES — broadcast below it
+    (texts fit one worker's heap; avoids the join's two exchanges), join
+    above it. verify="join" (the 100-TB floor): pair ids are joined back to
     texts with two co-partitioned hash joins, then scored per batch; nothing
     is collected driver-side. verify="broadcast": candidate texts ship once
-    via ray.put — faster while the corpus fits one worker's heap, a driver
-    OOM beyond that; opt in explicitly for small corpora. verify="auto"
-    picks by the parquet-metadata corpus size against
-    BROADCAST_VERIFY_MAX_BYTES. Join and broadcast are pinned equal by
+    via ray.put — a worker OOM beyond the threshold; opt in explicitly only
+    for small corpora. Join and broadcast are pinned equal by
     tests/test_textops.py."""
     import pyarrow.parquet as pq
     import ray
@@ -158,7 +164,7 @@ def q_near_dup_jaccard(sf_dir: str, verify: str = "join"):
     if verify == "auto":
         verify = (
             "broadcast"
-            if _docs_compressed_bytes(sf_dir) <= BROADCAST_VERIFY_MAX_BYTES
+            if _docs_uncompressed_bytes(sf_dir) <= BROADCAST_VERIFY_MAX_BYTES
             else "join"
         )
 

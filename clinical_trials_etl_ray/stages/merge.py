@@ -321,13 +321,24 @@ def candidate_buckets(
     conv_id: str, num_buckets: int, salt_factor: int = 1
 ) -> list:
     """The (at most ``salt_factor``) buckets that can hold a conv_id's turns
-    — the point-lookup prune derived from the salted routing function."""
+    — the point-lookup prune derived from the salted routing function.
+
+    The arithmetic MUST mirror ``salted_bucket_ids`` exactly, including its
+    uint64 wrap of ``h*salt_factor+sub`` (mod 2^64) BEFORE the bucket modulo:
+    with unbounded Python ints the candidate set diverges for ~half of all
+    keys whenever ``num_buckets`` is not a power of two, silently dropping
+    the real bucket from point lookups.
+    """
+    import numpy as np
+
     from ..functions.hashing import hash_strings
 
-    h = int(hash_strings([conv_id])[0])
+    h = hash_strings([conv_id])  # 1-element uint64 array; array ops wrap silently
     if salt_factor <= 1:
-        return [h % num_buckets]
-    return sorted({(h * salt_factor + s) % num_buckets for s in range(salt_factor)})
+        return [int((h % np.uint64(num_buckets))[0])]
+    subs = np.arange(salt_factor, dtype=np.uint64)
+    buckets = (h * np.uint64(salt_factor) + subs) % np.uint64(num_buckets)
+    return sorted({int(b) for b in buckets})
 
 
 def read_final_table(

@@ -25,6 +25,10 @@ from dataclasses import dataclass, field
 MANIFEST_DIR = "manifest"
 DATA_DIR = "data"
 
+# cleanup_orphans only removes manifest ".tmp." files older than this —
+# younger temps may be a live concurrent writer's in-flight publish.
+ORPHAN_TMP_MIN_AGE_SEC = 300.0
+
 
 def bucket_dir(lake_dir: str, bucket: int) -> str:
     return os.path.join(lake_dir, DATA_DIR, f"bucket={bucket:05d}")
@@ -343,12 +347,22 @@ class Manifest:
                 if rel not in referenced:
                     os.remove(full)
                     removed.append(rel)
-        # crashed publishes can strand manifest temp files; sweep them too
+        # crashed publishes can strand manifest temp files; sweep them too.
+        # Age-gate the sweep: a concurrent writer's _exclusive_write temp is
+        # seconds old, and deleting it out from under the writer turns the
+        # designed ConcurrentWriterError into a FileNotFoundError. Only temps
+        # older than ORPHAN_TMP_MIN_AGE_SEC (crash leftovers) are collected.
+        import time
+
         mdir = os.path.join(self.lake_dir, MANIFEST_DIR)
+        now = time.time()
         for name in os.listdir(mdir):
             if ".tmp." in name:
+                full = os.path.join(mdir, name)
                 try:
-                    os.remove(os.path.join(mdir, name))
+                    if now - os.path.getmtime(full) < ORPHAN_TMP_MIN_AGE_SEC:
+                        continue
+                    os.remove(full)
                     removed.append(os.path.join(MANIFEST_DIR, name))
                 except FileNotFoundError:
                     pass

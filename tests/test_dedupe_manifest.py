@@ -98,6 +98,33 @@ def test_manifest_cleanup_orphans(tmp_path):
     assert os.path.exists(ref) and not os.path.exists(orphan)
 
 
+def test_cleanup_orphans_age_gates_manifest_temps(tmp_path):
+    """A FRESH manifest .tmp. file may be a live concurrent writer's
+    in-flight publish — cleanup must leave it alone (deleting it turns that
+    writer's ConcurrentWriterError into FileNotFoundError). Only stale temps
+    (crash leftovers) are swept."""
+    from clinical_trials_etl_ray.state.manifest import (
+        MANIFEST_DIR,
+        ORPHAN_TMP_MIN_AGE_SEC,
+    )
+
+    lake = str(tmp_path / "lake")
+    m = Manifest.create(lake, num_buckets=4)
+    mdir = os.path.join(lake, MANIFEST_DIR)
+    fresh = os.path.join(mdir, "v000002.json.tmp.1234")
+    stale = os.path.join(mdir, "v000001.json.tmp.999")
+    open(fresh, "w").write("{}")
+    open(stale, "w").write("{}")
+    import time
+
+    old = time.time() - ORPHAN_TMP_MIN_AGE_SEC - 60
+    os.utime(stale, (old, old))
+    removed = m.cleanup_orphans()
+    assert os.path.join(MANIFEST_DIR, "v000001.json.tmp.999") in removed
+    assert os.path.exists(fresh), "live writer temp must survive cleanup"
+    assert not os.path.exists(stale)
+
+
 def test_concurrent_commit_raises_not_overwrites(tmp_path):
     import pytest
     """Two writers holding the same manifest version: the first commit wins

@@ -203,6 +203,34 @@ def test_salted_bucket_ids_properties():
     assert len(np.unique(bh)) == 4
 
 
+def test_candidate_buckets_matches_routing_nonpow2():
+    """Regression: candidate_buckets must replicate salted_bucket_ids'
+    uint64 wrap of h*salt_factor+sub. With unbounded Python ints the
+    candidate set misses the real bucket for ~50% of keys whenever
+    num_buckets is not a power of two (observed 7519/12800 misses),
+    making salted point lookups silently incomplete."""
+    import numpy as np
+
+    from clinical_trials_etl_ray.functions.hashing import salted_bucket_ids
+    from clinical_trials_etl_ray.stages.merge import candidate_buckets
+
+    rng = np.random.default_rng(7)
+    for num_buckets in (48, 24, 100, 17, 64):
+        for salt_factor in (1, 2, 4, 8):
+            convs = np.array(
+                [f"conv-{i:05d}" for i in range(400)], dtype=object
+            )
+            turns = rng.integers(0, 1000, size=400)
+            routed = salted_bucket_ids(convs, turns, num_buckets, salt_factor)
+            for conv, b in zip(convs, routed):
+                cand = candidate_buckets(conv, num_buckets, salt_factor)
+                assert int(b) in cand, (
+                    f"bucket {int(b)} for {conv} missing from candidates "
+                    f"{cand} (num_buckets={num_buckets}, salt={salt_factor})"
+                )
+                assert len(cand) <= salt_factor
+
+
 def test_time_travel_as_of_lsn(ray_session, tmp_path):
     """as_of_lsn at chunk watermarks reconstructs the exact state for an
     LSN-ordered log (uncompacted lake). LWW still differs from max-lsn
