@@ -125,17 +125,45 @@ def bench_queries() -> dict:
 def run_plain() -> dict:
     import ray
 
+    # keep the bench tail clean: raise Ray Data's console handler to WARNING
+    # (execution-plan INFO chatter) via the supported logging-config hook,
+    # and stop worker-log streaming (the harmless "Failed to hash the
+    # schemas" warning on pandas-metadata schemas) — the one JSON result
+    # line must stay machine-readable
+    os.environ.setdefault(
+        "RAY_DATA_LOGGING_CONFIG",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "ray_data_logging_quiet.yaml"),
+    )
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        log_to_driver=False,
     )
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+
+    # two known-benign driver-side WARNINGs would still interleave with the
+    # JSON tail (object-store sizing advice, progress-bar name truncation —
+    # progress bars are disabled anyway); drop exactly those
+    import logging
+
+    class _BenchNoise(logging.Filter):
+        def filter(self, record):
+            msg = record.getMessage()
+            return not (
+                "object store is configured" in msg
+                or "Truncating long operator name" in msg
+            )
+
+    logging.getLogger("ray.data").addFilter(_BenchNoise())
+    for h in logging.getLogger("ray.data").handlers:
+        h.addFilter(_BenchNoise())
 
     warmup_workers()
     headline = bench_cdc_replay()

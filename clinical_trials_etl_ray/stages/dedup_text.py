@@ -202,7 +202,8 @@ def candidate_pairs_partition(group: pd.DataFrame, df_cap: int = 200) -> pd.Data
     runs, then for each distinct run length L gather all runs of that length
     into an (R, L) matrix and emit its upper triangle in one shot — no
     pandas groupby over the (many) tiny band buckets. Buckets larger than
-    df_cap docs are dropped (hot-shingle cap — log/record at scale)."""
+    df_cap docs are dropped (hot-shingle cap); every truncation is counted
+    in ``capstats`` (key ``minhash_bands``) and logged."""
     empty = pd.DataFrame(
         {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
     )
@@ -218,6 +219,11 @@ def candidate_pairs_partition(group: pd.DataFrame, df_cap: int = 200) -> pd.Data
     new[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
     starts = np.flatnonzero(new)
     lengths = np.diff(np.append(starts, len(bid)))
+    hot = lengths > df_cap
+    if hot.any():
+        from .capstats import record_cap_drop
+
+        record_cap_drop("minhash_bands", int(hot.sum()), int(lengths[hot].sum()))
     out_a, out_b = [], []
     for length in np.unique(lengths):
         if length < 2 or length > df_cap:
@@ -364,7 +370,10 @@ def simhash_candidate_pairs_partition(
     each length into (R, L) matrices, emit the upper triangle in one shot and
     filter by a SWAR-vectorized popcount of the XORed signatures — no nested
     Python pair loop. Blocks shared by more than ``df_cap`` docs are dropped
-    (hot-block cap, mirroring the MinHash path — log/record at scale)."""
+    (hot-block cap, mirroring the MinHash path); truncations are counted in
+    ``capstats`` (key ``simhash_blocks``) and logged — this cap did not
+    exist before r2's vectorized kernel, so drops change ``simhash_pairs``
+    results vs the uncapped r1 path on corpora with >df_cap-hot blocks."""
     empty = pd.DataFrame(
         {"id_a": pd.Series([], dtype="int64"),
          "id_b": pd.Series([], dtype="int64"),
@@ -383,6 +392,11 @@ def simhash_candidate_pairs_partition(
     new[1:] = (bid[1:] != bid[:-1]) | (bv[1:] != bv[:-1])
     starts = np.flatnonzero(new)
     lengths = np.diff(np.append(starts, len(bid)))
+    hot = lengths > df_cap
+    if hot.any():
+        from .capstats import record_cap_drop
+
+        record_cap_drop("simhash_blocks", int(hot.sum()), int(lengths[hot].sum()))
     out_a, out_b, out_h = [], [], []
     for length in np.unique(lengths):
         if length < 2 or length > df_cap:

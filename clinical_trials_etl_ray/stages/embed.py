@@ -85,8 +85,62 @@ def read_prefix_rows(path: str, n: int, columns=("vec_id", "embedding")) -> pa.T
     return pa.concat_tables(tabs).slice(0, n)
 
 
+def topk_per_query(
+    qids: np.ndarray,
+    vec_ids: np.ndarray,
+    cos: np.ndarray,
+    k: int,
+    allowed: np.ndarray | None = None,
+) -> pa.Table:
+    """Per-batch, per-query top-k cut over a (nq, nb) cosine matrix.
+
+    Fused into the scorers so each batch emits ~nq×k rows instead of the
+    full nq×nb score table (an ~batch_size/k object-store inflation
+    otherwise). Tie-safe: every candidate whose cosine EQUALS the k-th
+    value is retained (np.partition threshold, >= keep), so the downstream
+    exact ``final_topk`` (cos desc, vec_id asc) resolves boundary ties
+    identically to an unfused full sort.
+    ``allowed``: optional (nq, nb) bool mask (IVF probe lists); self-matches
+    must already be excluded by the caller's mask or are excluded here when
+    ``allowed`` is None.
+    """
+    out_q, out_v, out_c = [], [], []
+    for qi in range(len(qids)):
+        if allowed is None:
+            cand = np.nonzero(vec_ids != qids[qi])[0]
+        else:
+            cand = np.nonzero(allowed[qi])[0]
+        if cand.size == 0:
+            continue
+        row = cos[qi, cand]
+        if cand.size > k:
+            kth = np.partition(row, cand.size - k)[cand.size - k]
+            keep = row >= kth
+            cand, row = cand[keep], row[keep]
+        out_q.append(np.full(cand.size, qids[qi]))
+        out_v.append(vec_ids[cand])
+        out_c.append(row)
+    if not out_q:
+        return pa.table(
+            {
+                "qid": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+            }
+        )
+    return pa.Table.from_pydict(
+        {
+            "qid": np.concatenate(out_q),
+            "vec_id": np.concatenate(out_v),
+            "cos": np.concatenate(out_c),
+        }
+    )
+
+
 class BruteForceTopK:
-    """Per-batch cosine top-k against a broadcast query matrix."""
+    """Per-batch cosine top-k against a broadcast query matrix; the top-k
+    cut happens INSIDE the batch (``topk_per_query``), so the stage emits
+    ≤ nq×(k+ties) rows per batch."""
 
     def __init__(self, query_ref, k: int = 5):
         import ray
@@ -100,19 +154,7 @@ class BruteForceTopK:
         vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         m = normalize_rows(table_to_matrix(batch))
         cos = self.qm @ m.T  # (nq, nb)
-        out_q, out_v, out_c = [], [], []
-        for qi, qid in enumerate(self.qids):
-            mask = vec_ids != qid
-            out_q.append(np.full(mask.sum(), qid))
-            out_v.append(vec_ids[mask])
-            out_c.append(cos[qi][mask])
-        return pa.Table.from_pydict(
-            {
-                "qid": np.concatenate(out_q),
-                "vec_id": np.concatenate(out_v),
-                "cos": np.concatenate(out_c),
-            }
-        )
+        return topk_per_query(self.qids, vec_ids, cos, self.k)
 
 
 def ann_topk(sf_dir: str, n_queries: int = 5, k: int = 5):
@@ -133,6 +175,8 @@ def ann_topk(sf_dir: str, n_queries: int = 5, k: int = 5):
     ref = ray.put(query)
 
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    # the scorer already cuts to ~nq×k rows per batch, so the groupby
+    # exchange moves O(blocks × nq × k) rows total
     scores = ds.map_batches(
         BruteForceTopK,
         fn_constructor_kwargs={"query_ref": ref, "k": k},
@@ -140,21 +184,21 @@ def ann_topk(sf_dir: str, n_queries: int = 5, k: int = 5):
         batch_size=4096,
         concurrency=(1, 4),
     )
+    return scores.groupby("qid").map_groups(
+        _make_final_topk(k), batch_format="pandas"
+    )
 
-    # per-batch partial top-k per qid keeps the exchange tiny
-    def partial_topk(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df = df.sort_values(["qid", "cos", "vec_id"], ascending=[True, False, True])
-        return pa.Table.from_pandas(df.groupby("qid").head(k), preserve_index=False)
 
-    partials = scores.map_batches(partial_topk, batch_format="pyarrow")
+def _make_final_topk(k: int):
+    """Exact per-qid top-k finisher (cos desc, vec_id asc tie-break) over
+    the fused scorers' partial candidates."""
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
         g["cos_sim"] = g["cos"].round(6)
         return g[["qid", "vec_id", "cos_sim"]]
 
-    return partials.groupby("qid").map_groups(final_topk, batch_format="pandas")
+    return final_topk
 
 
 class IVFTopK:
@@ -165,7 +209,7 @@ class IVFTopK:
     scale path — on a cluster the assignment becomes the partition key, so a
     probe touches only nprobe/C of the data instead of all of it."""
 
-    def __init__(self, ref):
+    def __init__(self, ref, k: int = 5):
         import ray
 
         q = ray.get(ref)  # one object-store fetch per actor
@@ -173,6 +217,7 @@ class IVFTopK:
         self.qm = normalize_rows(q["q_matrix"])
         self.cm = normalize_rows(q["centroids"])
         self.probe = q["probe_mask"]  # (nq, C) bool
+        self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
@@ -181,14 +226,36 @@ class IVFTopK:
         cos = self.qm @ m.T  # (nq, nb)
         allowed = self.probe[:, assign]  # (nq, nb)
         allowed &= self.qids[:, None] != vec_ids[None, :]
-        qi, bi = np.nonzero(allowed)
-        return pa.Table.from_pydict(
-            {
-                "qid": self.qids[qi],
-                "vec_id": vec_ids[bi],
-                "cos": cos[qi, bi],
-            }
-        )
+        return topk_per_query(self.qids, vec_ids, cos, self.k, allowed=allowed)
+
+
+def coarse_centroids(
+    path: str, n_centroids: int, refine_iters: int = 8
+) -> np.ndarray:
+    """Deterministic coarse codebook for IVF: a strided seed from a BOUNDED
+    corpus prefix (``read_prefix_rows`` — O(sample) driver I/O, never the
+    table), refined by ``refine_iters`` Lloyd iterations of spherical
+    k-means over the same sample. Deterministic (fixed sample, fixed seed
+    order, argmax ties break low) so IVF list assignment is stable across
+    runs; exactness of nprobe=C paths is independent of the codebook.
+    At lake scale the refinement input stays this bounded sample — a
+    distributed assignment pass (one extra map_batches + tiny groupby)
+    would slot in here if codebook quality on the sample plateaus."""
+    sample = read_prefix_rows(path, max(1024, n_centroids * 16)).sort_by("vec_id")
+    m = table_to_matrix(sample)
+    stride = max(1, len(m) // n_centroids)
+    cent = m[: stride * n_centroids : stride][:n_centroids].copy()
+    sm = normalize_rows(m)
+    for _ in range(refine_iters):
+        cm = normalize_rows(cent)
+        assign = np.argmax(cm @ sm.T, axis=0)  # (n,) nearest centroid
+        sums = np.zeros_like(cent)
+        np.add.at(sums, assign, sm)
+        counts = np.bincount(assign, minlength=len(cent)).astype(np.float64)
+        nonempty = counts > 0
+        cent[nonempty] = sums[nonempty] / counts[nonempty, None]
+        # empty clusters keep their previous centroid (deterministic)
+    return cent
 
 
 def ann_topk_ivf(
@@ -200,12 +267,11 @@ def ann_topk_ivf(
 ):
     """IVF-bucketed approximate cosine top-k (the 100-TB scale path for S-ANN).
 
-    Centroids are a deterministic strided sample of a BOUNDED corpus prefix
-    (a k-means refinement would slot in here unchanged); queries probe their
-    ``nprobe`` nearest centroids. Everything small (queries, centroids, probe
-    mask) is broadcast once via ``ray.put``; the corpus streams through
-    ``map_batches``. Driver I/O is O(queries + centroid-sample), never the
-    whole table.
+    Centroids come from ``coarse_centroids`` (bounded-sample spherical
+    k-means); queries probe their ``nprobe`` nearest centroids. Everything
+    small (queries, centroids, probe mask) is broadcast once via
+    ``ray.put``; the corpus streams through ``map_batches``. Driver I/O is
+    O(queries + centroid-sample), never the whole table.
     """
     import os
 
@@ -213,12 +279,7 @@ def ann_topk_ivf(
     import ray.data
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    sample = read_prefix_rows(path, max(1024, n_centroids * 16)).sort_by("vec_id")
-    stride = max(1, sample.num_rows // n_centroids)
-    cent_t = sample.take(
-        list(range(0, stride * n_centroids, stride))[:n_centroids]
-    )
-    centroids = table_to_matrix(cent_t)
+    centroids = coarse_centroids(path, n_centroids)
 
     qt = read_lowest_vec_ids(path, n_queries)
     qm = normalize_rows(table_to_matrix(qt))
@@ -241,25 +302,14 @@ def ann_topk_ivf(
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
     scores = ds.map_batches(
         IVFTopK,
-        fn_constructor_kwargs={"ref": ref},
+        fn_constructor_kwargs={"ref": ref, "k": k},
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=(1, 4),
     )
-
-    def partial_topk(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df = df.sort_values(["qid", "cos", "vec_id"], ascending=[True, False, True])
-        return pa.Table.from_pandas(df.groupby("qid").head(k), preserve_index=False)
-
-    partials = scores.map_batches(partial_topk, batch_format="pyarrow")
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
-        g["cos_sim"] = g["cos"].round(6)
-        return g[["qid", "vec_id", "cos_sim"]]
-
-    return partials.groupby("qid").map_groups(final_topk, batch_format="pandas")
+    return scores.groupby("qid").map_groups(
+        _make_final_topk(k), batch_format="pandas"
+    )
 
 
 def build_ivf_index(sf_dir: str, index_dir: str, n_centroids: int = 16):
@@ -276,10 +326,15 @@ def build_ivf_index(sf_dir: str, index_dir: str, n_centroids: int = 16):
     import ray.data
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    sample = read_prefix_rows(path, max(1024, n_centroids * 16)).sort_by("vec_id")
-    stride = max(1, sample.num_rows // n_centroids)
-    cent_t = sample.take(list(range(0, stride * n_centroids, stride))[:n_centroids])
-    centroids = table_to_matrix(cent_t)
+    centroids = coarse_centroids(path, n_centroids)
+    cent_t = pa.table(
+        {
+            "centroid_id": pa.array(range(len(centroids)), pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in centroids], pa.list_(pa.float64())
+            ),
+        }
+    )
     os.makedirs(index_dir, exist_ok=True)
     pq.write_table(cent_t, os.path.join(index_dir, "centroids.parquet"))
 
@@ -367,29 +422,15 @@ def ann_topk_ivf_indexed(
             cos = self.qm @ m.T
             allowed = self.probe_mask[:, lists_col]
             allowed &= self.qids[:, None] != vec_ids[None, :]
-            qi, bi = np.nonzero(allowed)
-            return pa.Table.from_pydict(
-                {"qid": self.qids[qi], "vec_id": vec_ids[bi], "cos": cos[qi, bi]}
-            )
+            return topk_per_query(self.qids, vec_ids, cos, k, allowed=allowed)
 
     ds = ray.data.read_parquet(paths)
     scores = ds.map_batches(
         ListScorer, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)
     )
-
-    def partial_topk(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df = df.sort_values(["qid", "cos", "vec_id"], ascending=[True, False, True])
-        return pa.Table.from_pandas(df.groupby("qid").head(k), preserve_index=False)
-
-    partials = scores.map_batches(partial_topk, batch_format="pyarrow")
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
-        g["cos_sim"] = g["cos"].round(6)
-        return g[["qid", "vec_id", "cos_sim"]]
-
-    return partials.groupby("qid").map_groups(final_topk, batch_format="pandas")
+    return scores.groupby("qid").map_groups(
+        _make_final_topk(k), batch_format="pandas"
+    )
 
 
 class PairScorer:
@@ -484,8 +525,9 @@ def lsh_pairs(
     Dataset with an id column and a fixed-width vector column. Recall < 1 by
     design (identical vectors always share every bucket, so exact duplicates
     have recall 1). Buckets larger than ``bucket_cap`` are truncated — the
-    hot-bucket cap that bounds the O(f²) within-bucket matmul at lake scale
-    (log/record what was dropped in production)."""
+    hot-bucket cap that bounds the O(f²) within-bucket matmul at lake scale;
+    truncations are counted in ``capstats`` (key ``embedding_lsh``) and
+    logged."""
     ds = ds.map_batches(
         HyperplaneBucketer,
         fn_constructor_kwargs={"n_bits": n_bits, "dim": dim, "vec_col": vec_col},
@@ -496,6 +538,9 @@ def lsh_pairs(
 
     def within_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) > bucket_cap:
+            from .capstats import record_cap_drop
+
+            record_cap_drop("embedding_lsh", 1, len(g) - bucket_cap)
             g = g.iloc[:bucket_cap]
         ids = g[id_col].to_numpy()
         m = normalize_rows(np.stack(g[vec_col].to_numpy()).astype(np.float64))

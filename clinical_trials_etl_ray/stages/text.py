@@ -127,7 +127,6 @@ class Fingerprinter:
 
     def __init__(self, n_keep: int = 4):
         self.n_keep = n_keep
-        self.ws = re.compile(r"\s+")
         # precompute BASE^(WINDOW-1) for the rolling update
         p = np.uint64(1)
         for _ in range(self.WINDOW - 1):
@@ -154,8 +153,14 @@ class Fingerprinter:
         return sorted(np.unique(hashes)[: self.n_keep].tolist())
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        canon = batch["text"].fillna("").map(
-            lambda s: self.ws.sub(" ", s).strip().lower()
+        # canonicalization is a vectorized pandas .str chain; md5 stays
+        # per-row (inherently so, and oracle-parity with DuckDB md5())
+        canon = (
+            batch["text"]
+            .fillna("")
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+            .str.lower()
         )
         batch["fp_md5"] = canon.map(lambda s: hashlib.md5(s.encode()).hexdigest())
         batch["fp_minhashes"] = batch["text"].fillna("").map(self._rolling_min)
@@ -164,8 +169,6 @@ class Fingerprinter:
 
 def md5_exact(batch: pa.Table) -> pa.Table:
     """Vectorized-enough md5 content hash (SQL-comparable: DuckDB md5())."""
-    import pyarrow.compute as pc
-
     texts = batch.column("text").to_pylist()
     h = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
     return batch.append_column("text_md5", pa.array(h, pa.string()))

@@ -48,9 +48,16 @@ def event_checks(t: pa.Table) -> dict:
             _mask_missing(t, "role"),
             not_delete.to_numpy(zero_copy_only=False),
         ),
+        # trim exactly RE2's ASCII \s class ([\t\n\f\r ]) to match the
+        # DuckDB oracle's regexp_replace '\s' trim — utf8_trim_whitespace
+        # would also strip Unicode whitespace (e.g. U+00A0) the oracle
+        # keeps, a latent mismatch on non-ASCII corpora (ADVICE r2)
         "empty_text": np.logical_and(
             pc.fill_null(
-                pc.equal(pc.utf8_trim_whitespace(pc.fill_null(t["text"], "")), ""),
+                pc.equal(
+                    pc.utf8_trim(pc.fill_null(t["text"], ""), " \t\n\r\f"),
+                    "",
+                ),
                 True,
             ).to_numpy(zero_copy_only=False),
             not_delete.to_numpy(zero_copy_only=False),

@@ -23,6 +23,125 @@ def test_displaced_window_queries_match_oracle(ray_session, name):
     assert_matches_oracle(q(SF), sql, SF)
 
 
+def test_minhash_cap_drop_reported(ray_session):
+    """A band bucket hotter than df_cap is dropped AND the drop is counted
+    (VERDICT r2 'What's wrong' 2: caps must not be silent)."""
+    import numpy as np
+    import pandas as pd
+
+    from clinical_trials_etl_ray.stages.capstats import (
+        cap_drop_totals,
+        reset_cap_drops,
+    )
+    from clinical_trials_etl_ray.stages.dedup_text import (
+        candidate_pairs_partition,
+    )
+
+    reset_cap_drops()
+    n_hot = 250
+    group = pd.DataFrame(
+        {
+            "band_id": np.zeros(n_hot + 2, dtype=np.int64),
+            "band_hash": np.r_[np.zeros(n_hot, dtype=np.int64), [7, 7]],
+            "doc_id": np.arange(n_hot + 2, dtype=np.int64),
+        }
+    )
+    pairs = candidate_pairs_partition(group, df_cap=200)
+    # the hot bucket contributes nothing; the cold 2-doc bucket pairs
+    assert len(pairs) == 1
+    totals = cap_drop_totals()
+    assert totals.get("minhash_bands") == (1, n_hot)
+
+
+def test_simhash_cap_drop_reported(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from clinical_trials_etl_ray.stages.capstats import (
+        cap_drop_totals,
+        reset_cap_drops,
+    )
+    from clinical_trials_etl_ray.stages.dedup_text import (
+        simhash_candidate_pairs_partition,
+    )
+
+    reset_cap_drops()
+    n_hot = 220
+    group = pd.DataFrame(
+        {
+            "block_id": np.zeros(n_hot, dtype=np.int64),
+            "block_val": np.zeros(n_hot, dtype=np.int64),
+            "doc_id": np.arange(n_hot, dtype=np.int64),
+            "simhash": np.zeros(n_hot, dtype=np.int64),
+        }
+    )
+    pairs = simhash_candidate_pairs_partition(group, df_cap=200)
+    assert len(pairs) == 0
+    assert cap_drop_totals().get("simhash_blocks") == (1, n_hot)
+
+
+def test_embedding_lsh_cap_drop_reported_from_workers(ray_session):
+    """bucket_cap truncation inside distributed map_groups workers reaches
+    the driver-visible totals via the named metrics actor."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from clinical_trials_etl_ray.stages.capstats import (
+        cap_drop_totals,
+        reset_cap_drops,
+    )
+    from clinical_trials_etl_ray.stages.embed import lsh_pairs
+
+    reset_cap_drops()
+    n = 10
+    vec = [0.5] * 64
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([vec] * n, pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    pairs = lsh_pairs(ds, threshold=0.4, bucket_cap=4).to_pandas()
+    # identical vectors share every bucket; cap 4 keeps 4C2=6 pairs
+    assert len(pairs) == 6
+    key, (buckets, rows) = next(iter(cap_drop_totals().items()))
+    assert key == "embedding_lsh" and buckets >= 1 and rows >= n - 4
+
+
+def test_empty_text_check_matches_oracle_whitespace_class():
+    """empty_text must trim exactly RE2's ASCII \\s class ([\\t\\n\\f\\r ])
+    like the DuckDB oracle — NOT Unicode whitespace (U+00A0) and NOT \\v,
+    neither of which RE2 \\s matches (ADVICE r2)."""
+    import duckdb
+    import pyarrow as pa
+
+    from clinical_trials_etl_ray.stages.validate import event_checks
+
+    texts = ["", "   ", " \t\n\r\f", "\u00a0", "\x0b", "x", None]
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c"] * len(texts)),
+            "turn_idx": pa.array([0] * len(texts), pa.int64()),
+            "op": pa.array(["insert"] * len(texts)),
+            "ts": pa.array([1] * len(texts), pa.int64()),
+            "role": pa.array(["user"] * len(texts)),
+            "text": pa.array(texts),
+        }
+    )
+    got = event_checks(t)["empty_text"].tolist()
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "select regexp_replace(coalesce(?, ''), '^\\s+|\\s+$', '', 'g') = ''",
+            [s],
+        ).fetchone()[0]
+        for s in texts
+    ]
+    assert got == want
+
+
 def test_window_invariants():
     """Every one of the driver's first 50 queries is oracle-bearing, and the
     four r3-rotated complex operators sit inside the window."""
