@@ -87,6 +87,11 @@ def main(argv=None) -> int:
                     help="inclusive conv_id range start (manifest file prune)")
     dp.add_argument("--conv-max", default=None,
                     help="inclusive conv_id range end (manifest file prune)")
+    dp.add_argument("--ts-min", default=None,
+                    help="inclusive event-time start (ISO ts or epoch µs int;"
+                         " manifest ts file prune + row filter)")
+    dp.add_argument("--ts-max", default=None,
+                    help="inclusive event-time end (ISO ts or epoch µs int)")
 
     op = sub.add_parser("oracle")
     op.add_argument("binlog_dir")
@@ -184,12 +189,19 @@ def main(argv=None) -> int:
                 if (args.conv_min is not None or args.conv_max is not None)
                 else None
             )
+            def _ts_arg(v):
+                if v is None:
+                    return None
+                return int(v) if v.lstrip("-").isdigit() else v
+
             ds = read_final_table(
                 args.lake_dir,
                 as_of_lsn=args.as_of_lsn,
                 version=args.version,
                 conv_id=args.conv_id,
                 conv_range=conv_range,
+                ts_min=_ts_arg(args.ts_min),
+                ts_max=_ts_arg(args.ts_max),
             )
             {"parquet": write_parquet, "csv": write_csv, "json": write_json}[
                 args.format

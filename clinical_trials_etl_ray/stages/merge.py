@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -83,6 +84,12 @@ _STATS_SCHEMA = pa.schema(
         # filtered as already-applied (≤ committed bucket watermark)
         pa.field("rows_in", pa.int64()),
         pa.field("stale_skipped", pa.int64()),
+        # per-file event-time range (epoch µs, over ALL rows INCLUDING
+        # tombstones — a delete's ts must keep its file un-prunable or a
+        # ts_min prune could resurrect the deleted key from older deltas).
+        # Enables the sound ts file prunes in read_final_table.
+        pa.field("ts_us_min", pa.int64()),
+        pa.field("ts_us_max", pa.int64()),
     ]
 )
 
@@ -90,6 +97,25 @@ _STATS_SCHEMA = pa.schema(
 def _conv_minmax(t: pa.Table) -> tuple[str | None, str | None]:
     mm = pc.min_max(t["conv_id"]).as_py()
     return mm["min"], mm["max"]
+
+
+def _ts_us_minmax(t: pa.Table) -> tuple[int | None, int | None]:
+    """(min, max) of the ts column in epoch microseconds (None if empty or
+    all-null)."""
+    mm = pc.min_max(t["ts"].cast(pa.int64())).as_py()
+    return mm["min"], mm["max"]
+
+
+def _to_ts_us(value) -> int | None:
+    """A user ts predicate (datetime / ISO string / pa scalar / int µs) →
+    epoch µs, or None if unconvertible (callers then skip file pruning —
+    the row filter still applies, so never wrong, just unpruned)."""
+    try:
+        if isinstance(value, (int, np.integer)):
+            return int(value)
+        return pa.scalar(value, pa.timestamp("us")).cast(pa.int64()).as_py()
+    except Exception:
+        return None
 
 
 def _write_immutable(table: pa.Table, directory: str, name: str) -> str:
@@ -132,6 +158,7 @@ def make_bucket_merge_fn(lake_dir: str, watermarks: dict):
                     "min_lsn": [-1], "max_lsn": [-1],
                     "conv_min": [None], "conv_max": [None],
                     "rows_in": [rows_in], "stale_skipped": [stale],
+                    "ts_us_min": [None], "ts_us_max": [None],
                 },
                 schema=_STATS_SCHEMA,
             )
@@ -140,6 +167,7 @@ def make_bucket_merge_fn(lake_dir: str, watermarks: dict):
         path = _write_immutable(t, bucket_dir(lake_dir, bucket), f"delta-{h}.parquet")
         rel = os.path.relpath(path, lake_dir)
         cmin, cmax = _conv_minmax(t)
+        tmin, tmax = _ts_us_minmax(t)
         return pa.Table.from_pydict(
             {
                 "bucket": [bucket],
@@ -153,6 +181,8 @@ def make_bucket_merge_fn(lake_dir: str, watermarks: dict):
                 "conv_max": [cmax],
                 "rows_in": [rows_in],
                 "stale_skipped": [stale],
+                "ts_us_min": [tmin],
+                "ts_us_max": [tmax],
             },
             schema=_STATS_SCHEMA,
         )
@@ -210,6 +240,7 @@ def make_direct_delta_writer(lake_dir: str, watermarks: dict):
                 sub, bucket_dir(lake_dir, bucket), f"delta-{h}.parquet"
             )
             cmin, cmax = _conv_minmax(sub)
+            tmin, tmax = _ts_us_minmax(sub)
             out.append(
                 {
                     "bucket": bucket,
@@ -223,6 +254,8 @@ def make_direct_delta_writer(lake_dir: str, watermarks: dict):
                     "conv_max": cmax,
                     "rows_in": rows_in,
                     "stale_skipped": stale,
+                    "ts_us_min": tmin,
+                    "ts_us_max": tmax,
                 }
             )
         if not out:
@@ -364,9 +397,20 @@ def read_final_table(
       - ``conv_range=(lo, hi)`` prunes FILES by per-file conv_id min/max
         recorded in the manifest (compaction sorts each bucket by
         (conv_id, turn_idx), so post-compaction ranges are tight);
-      - ``ts_min``/``ts_max`` filter ROWS post-LWW only — a file-level ts
-        prune would be unsound, because the LWW winner for a key can live in
-        any file regardless of its ts range.
+      - ``ts_min``/``ts_max`` filter ROWS post-LWW, with two SOUND
+        file-level prunes from the manifest's per-file ts range (recorded
+        over all rows incl. tombstones):
+        (a) ``ts_min``: a file whose max ts < ts_min can be skipped in ANY
+            mix of bases/deltas — if a key's true LWW winner lives in that
+            file, every other version of the key loses to it and so has
+            ts ≤ winner ts < ts_min; the pseudo-winner resolved without the
+            file is therefore also removed by the row filter (tombstone
+            winners are covered because their ts is in the file stats);
+        (b) ``ts_max``: skipping a file whose min ts > ts_max is only sound
+            when it empties the ENTIRE bucket (otherwise a superseded older
+            version of a key could be resurrected from the remaining
+            files), so it is applied as a whole-bucket skip.
+        Files without recorded ts stats (older manifests) are always read.
     Time travel: ``version`` reads an older manifest snapshot (retained —
     see Manifest.cleanup_orphans); ``as_of_lsn`` reconstructs the state as
     of an LSN (exact at committed chunk watermarks — see
@@ -395,17 +439,41 @@ def read_final_table(
         full = schema_from_b64(man.schema_ipc)
         committed = pa.schema([f for f in full if f.name not in ("lsn", "op")])
 
+    # ts file prunes (see docstring): (a) drop files entirely below ts_min;
+    # (b) skip buckets whose EVERY file is entirely above ts_max
+    ts_min_us = _to_ts_us(ts_min) if ts_min is not None else None
+    ts_max_us = _to_ts_us(ts_max) if ts_max is not None else None
+
+    def _pruned_files(b: int) -> list:
+        files = man.files_for_bucket(b)
+        if ts_min_us is not None:
+            files = [
+                f
+                for f in files
+                if f.get("ts_us_max") is None or f["ts_us_max"] >= ts_min_us
+            ]
+        if (
+            ts_max_us is not None
+            and files
+            and all(
+                f.get("ts_us_min") is not None and f["ts_us_min"] > ts_max_us
+                for f in files
+            )
+        ):
+            files = []
+        return files
+
+    files_by_bucket = {b: _pruned_files(b) for b in range(man.num_buckets)}
     items = [
         {"bucket": b, "lake_dir": lake_dir}
         for b in range(man.num_buckets)
-        if man.files_for_bucket(b) and (allowed is None or b in allowed)
+        if files_by_bucket[b] and (allowed is None or b in allowed)
     ]
     if not items:
         return ray.data.from_arrow(
             committed.empty_table() if committed is not None
             else TRANSCRIPT_SCHEMA.empty_table()
         )
-    files_by_bucket = {b: man.files_for_bucket(b) for b in range(man.num_buckets)}
 
     def resolve(batch: pa.Table) -> pa.Table:
         out = []
@@ -428,10 +496,20 @@ def read_final_table(
                     t = t.filter(pc.greater_equal(t["conv_id"], lo))
                 if hi is not None:
                     t = t.filter(pc.less_equal(t["conv_id"], hi))
+            # row filters compare in epoch-µs when the predicate converted
+            # (accepts datetime / ISO string / int µs uniformly)
             if ts_min is not None:
-                t = t.filter(pc.greater_equal(t["ts"], ts_min))
+                t = (
+                    t.filter(pc.greater_equal(t["ts"].cast(pa.int64()), ts_min_us))
+                    if ts_min_us is not None
+                    else t.filter(pc.greater_equal(t["ts"], ts_min))
+                )
             if ts_max is not None:
-                t = t.filter(pc.less_equal(t["ts"], ts_max))
+                t = (
+                    t.filter(pc.less_equal(t["ts"].cast(pa.int64()), ts_max_us))
+                    if ts_max_us is not None
+                    else t.filter(pc.less_equal(t["ts"], ts_max))
+                )
             out.append(t)
         return pa.concat_tables(out) if out else TRANSCRIPT_SCHEMA.empty_table()
 
@@ -479,6 +557,7 @@ def compact_bucket(
     h = content_hash(resolved)
     path = _write_immutable(resolved, bucket_dir(lake_dir, bucket), f"base-{h}.parquet")
     cmin, cmax = _conv_minmax(resolved)
+    tmin, tmax = _ts_us_minmax(resolved)
     return {
         "path": os.path.relpath(path, lake_dir),
         "kind": "base",
@@ -488,4 +567,9 @@ def compact_bucket(
         "max_lsn": pc.max(resolved["lsn"]).as_py(),
         "conv_min": cmin,
         "conv_max": cmax,
+        # winner event-time range (tombstones included): on a compacted
+        # base every row IS the resolved state, so these stats make the
+        # ts file prunes in read_final_table tight
+        "ts_us_min": tmin,
+        "ts_us_max": tmax,
     }

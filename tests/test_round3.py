@@ -142,6 +142,64 @@ def test_empty_text_check_matches_oracle_whitespace_class():
     assert got == want
 
 
+@pytest.fixture()
+def ts_lake(ray_session, tmp_path):
+    from clinical_trials_etl_ray.pipelines.replay import compact, replay
+    from clinical_trials_etl_ray.synth import BinlogSpec, write_binlog_shards
+
+    binlog = str(tmp_path / "binlog")
+    spec = BinlogSpec(
+        n_events=5_000, n_convs=50, seed=3, duplicate_rate=0.05,
+        shuffle_window=64,
+    )
+    write_binlog_shards(spec, binlog, n_shards=4, parallel=False)
+    lake = str(tmp_path / "lake")
+    replay(binlog, lake, num_buckets=8, files_per_chunk=2)
+    compact(lake)
+    return lake
+
+
+def test_ts_file_stats_recorded_and_row_filter_exact(ts_lake):
+    """Every committed file carries a ts range; ts_min/ts_max read results
+    equal the row-filtered full table (pruning never changes results)."""
+    from clinical_trials_etl_ray.stages.merge import read_final_table
+    from clinical_trials_etl_ray.state.manifest import Manifest
+
+    man = Manifest.load(ts_lake)
+    files = [f for b in range(8) for f in man.files_for_bucket(b)]
+    assert files and all(
+        f.get("ts_us_min") is not None and f["ts_us_max"] >= f["ts_us_min"]
+        for f in files
+    )
+
+    full = read_final_table(ts_lake).to_pandas()
+    ts_us = full["ts"].astype("int64")
+    mid = int(ts_us.quantile(0.5))
+    got = read_final_table(ts_lake, ts_min=mid).to_pandas()
+    assert len(got) == int((ts_us >= mid).sum()) > 0
+    got2 = read_final_table(ts_lake, ts_max=mid).to_pandas()
+    assert len(got2) == int((ts_us <= mid).sum()) > 0
+
+
+def test_ts_prune_skips_file_reads(ts_lake):
+    """Pruning proof: with a ts_min beyond every file's max (and a ts_max
+    below every file's min) the read touches NO data files — deleting them
+    from disk first would otherwise crash the resolve tasks."""
+    import os
+
+    from clinical_trials_etl_ray.stages.merge import read_final_table
+    from clinical_trials_etl_ray.state.manifest import Manifest
+
+    man = Manifest.load(ts_lake)
+    files = [f for b in range(8) for f in man.files_for_bucket(b)]
+    hi = max(f["ts_us_max"] for f in files)
+    lo = min(f["ts_us_min"] for f in files)
+    for f in files:
+        os.remove(os.path.join(ts_lake, f["path"]))
+    assert len(read_final_table(ts_lake, ts_min=hi + 1).to_pandas()) == 0
+    assert len(read_final_table(ts_lake, ts_max=lo - 1).to_pandas()) == 0
+
+
 def test_window_invariants():
     """Every one of the driver's first 50 queries is oracle-bearing, and the
     four r3-rotated complex operators sit inside the window."""
