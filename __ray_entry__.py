@@ -70,6 +70,7 @@ _TAIL = [
     "fingerprint_rolling",
     "simhash_pairs",
     "ann_topk_ivf_probe",
+    "ann_topk_ivf_indexed",
     "near_dup_cosine_lsh",
     "media_features",
     "media_near_dup",

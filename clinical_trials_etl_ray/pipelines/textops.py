@@ -335,6 +335,26 @@ def q_ann_topk_ivf_probe(sf_dir: str):
     return ann_topk_ivf(sf_dir, n_queries=5, k=5, n_centroids=16, nprobe=4)
 
 
+def q_ann_topk_ivf_indexed(sf_dir: str):
+    """Rows-only: the MATERIALIZED IVF index path — build the
+    hive-partitioned list layout under a per-sf tmp dir (cached across
+    calls: the index is immutable for a given input), then answer top-k by
+    reading ONLY the probed list partitions. With nprobe = n_centroids the
+    result is exact, so rows/schema match the in-memory variants while
+    exercising true storage-level pruning."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    from ..stages.embed import ann_topk_ivf_indexed, build_ivf_index
+
+    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    index_dir = os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}")
+    if not os.path.exists(os.path.join(index_dir, "centroids.parquet")):
+        build_ivf_index(sf_dir, index_dir, n_centroids=16)
+    return ann_topk_ivf_indexed(sf_dir, index_dir, n_queries=5, k=5, nprobe=16)
+
+
 def q_near_dup_cosine(sf_dir: str):
     return near_dup_pairs_cosine(sf_dir, threshold=0.4)
 
@@ -452,6 +472,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
     "ann_topk_ivf_probe": q_ann_topk_ivf_probe,
+    "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
     "near_dup_cosine": q_near_dup_cosine,
     "near_dup_cosine_lsh": q_near_dup_cosine_lsh,
     "media_features": q_media_features,

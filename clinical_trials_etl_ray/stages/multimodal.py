@@ -105,11 +105,17 @@ class DeterministicFakeDecoder:
 
 
 class RealDecoder:
-    """Gated real decoder: requires PIL (absent here) — import-try stub."""
+    """Real image decoder, gated on PIL availability (absent in this
+    sandbox). When PIL imports, ``__call__`` is a REAL kernel with the same
+    output layout as ``DeterministicFakeDecoder``: decode payload bytes →
+    grayscale → resize to feature_dim^0.5 square → normalized float32
+    feature vector. Rows whose payload PIL cannot decode (the synth corpus's
+    random bytes, any corrupt file) get a zero vector rather than failing
+    the batch — quarantine-style tolerance for dirty media at scale."""
 
-    def __init__(self):
+    def __init__(self, feature_dim: int = FEATURE_DIM):
         try:
-            from PIL import Image  # noqa: F401
+            from PIL import Image
 
             self.backend = Image
         except ImportError as e:
@@ -117,9 +123,45 @@ class RealDecoder:
                 "image decode requires PIL, which is not available in this "
                 "environment; use DeterministicFakeDecoder for plumbing tests"
             ) from e
+        self.feature_dim = feature_dim
+        side = int(feature_dim**0.5)
+        if side * side != feature_dim:
+            raise ValueError("feature_dim must be a perfect square")
+        self.side = side
 
-    def __call__(self, batch: pa.Table) -> pa.Table:  # pragma: no cover
-        raise NotImplementedError("real decode path not exercised in sandbox")
+    def _features(self, payload: bytes) -> np.ndarray:
+        import io
+
+        try:
+            img = self.backend.open(io.BytesIO(payload)).convert("L")
+            img = img.resize((self.side, self.side))
+            arr = np.asarray(img, dtype=np.float32).ravel() / 255.0
+            return arr
+        except Exception:
+            return np.zeros(self.feature_dim, dtype=np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        feats = np.stack([self._features(p) for p in payloads])
+        n_bytes = np.fromiter((len(p) for p in payloads), dtype=np.int64)
+        return pa.Table.from_pydict(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "n_bytes": n_bytes,
+                "feature": list(feats),
+            }
+        )
+
+
+def make_decoder(feature_dim: int = FEATURE_DIM):
+    """The decode stage factory: the real PIL kernel when the codec library
+    exists, else the deterministic stub — callers' pipeline shape (actor
+    pool, batch size, output schema) is identical either way."""
+    try:
+        return RealDecoder(feature_dim=feature_dim)
+    except NotImplementedError:
+        return DeterministicFakeDecoder(feature_dim=feature_dim)
 
 
 class FakeResizer:

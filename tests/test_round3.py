@@ -200,6 +200,100 @@ def test_ts_prune_skips_file_reads(ts_lake):
     assert len(read_final_table(ts_lake, ts_max=lo - 1).to_pandas()) == 0
 
 
+def test_ivf_kmeans_refinement_beats_strided_recall(tmp_path):
+    """On clustered data at small nprobe the Lloyd-refined codebook must
+    beat the raw strided-sample seed it starts from (VERDICT r2 item 6);
+    exactness at nprobe=C is unaffected (pinned elsewhere)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clinical_trials_etl_ray.stages.embed import (
+        coarse_centroids,
+        normalize_rows,
+        read_prefix_rows,
+        table_to_matrix,
+    )
+
+    rng = np.random.default_rng(1)
+    c_true, d, n = 8, 64, 4000
+    means = rng.standard_normal((c_true, d)) * 1.5
+    x = np.concatenate(
+        [means[i] + rng.standard_normal((n // c_true, d)) for i in range(c_true)]
+    )
+    x = x[rng.permutation(n)]
+    path = str(tmp_path / "embeddings.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [r.tolist() for r in x], pa.list_(pa.float64())
+                ),
+            }
+        ),
+        path,
+    )
+
+    def strided_seed(n_centroids):  # the pre-r3 baseline codebook
+        sample = read_prefix_rows(path, max(1024, n_centroids * 16)).sort_by(
+            "vec_id"
+        )
+        m = table_to_matrix(sample)
+        stride = max(1, len(m) // n_centroids)
+        return m[: stride * n_centroids : stride][:n_centroids].copy()
+
+    def recall(cent, k=5, nprobe=2, nq=30):
+        cm, xm = normalize_rows(cent), normalize_rows(x)
+        assign = np.argmax(cm @ xm.T, axis=0)
+        rec = []
+        for qi in range(nq):
+            row = (xm[qi] @ xm.T).copy()
+            row[qi] = -np.inf
+            truth = set(np.argsort(-row)[:k])
+            probes = np.argsort(-(xm[qi] @ cm.T))[:nprobe]
+            mask = np.isin(assign, probes)
+            mask[qi] = False
+            cand = np.nonzero(mask)[0]
+            got = set(cand[np.argsort(-row[cand])[:k]]) if len(cand) else set()
+            rec.append(len(truth & got) / k)
+        return float(np.mean(rec))
+
+    r_strided = recall(strided_seed(8))
+    r_refined = recall(coarse_centroids(path, 8))
+    assert r_refined > r_strided
+    assert r_refined >= 0.95
+
+
+def test_decoder_factory_gates_on_pil():
+    """make_decoder returns the real PIL kernel when the library exists,
+    else the deterministic stub; both share the output layout."""
+    from clinical_trials_etl_ray.stages.multimodal import (
+        DeterministicFakeDecoder,
+        RealDecoder,
+        make_decoder,
+        synth_media_table,
+    )
+
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    dec = make_decoder()
+    if has_pil:
+        assert isinstance(dec, RealDecoder)
+    else:
+        assert isinstance(dec, DeterministicFakeDecoder)
+        with pytest.raises(NotImplementedError):
+            RealDecoder()
+    out = dec(synth_media_table(8))
+    assert out.column_names == ["media_id", "kind", "n_bytes", "feature"]
+    assert out.num_rows == 8
+
+
 def test_window_invariants():
     """Every one of the driver's first 50 queries is oracle-bearing, and the
     four r3-rotated complex operators sit inside the window."""
