@@ -157,6 +157,69 @@ class BruteForceTopK:
         return topk_per_query(self.qids, vec_ids, cos, self.k)
 
 
+def kmeans_refine_distributed(
+    ds,
+    centroids: np.ndarray,
+    iters: int = 4,
+    vec_col: str = "embedding",
+):
+    """Distributed Lloyd refinement over the FULL corpus — the scale path
+    past the bounded-sample codebook of ``coarse_centroids``.
+
+    Each iteration is ONE streaming ``map_batches`` pass: every batch emits
+    a single (C, d+1) partial row — per-centroid vector sums and member
+    counts for its rows against the broadcast codebook — so the driver-side
+    reduce is O(blocks × C × d), independent of corpus size, and nothing is
+    ever collected. The corpus is re-read per iteration (streaming beats
+    caching at 100 TB); ``iters`` is small because the sample-refined seed
+    is already near a local optimum. Deterministic: fixed seed codebook,
+    argmax ties break low, float64 partials summed in block order.
+    Empty clusters keep their previous centroid.
+    """
+    import ray
+
+    cent = centroids.astype(np.float64).copy()
+    c, d = cent.shape
+    for _ in range(iters):
+        ref = ray.put(normalize_rows(cent))
+
+        class AssignPartial:
+            def __init__(self):
+                self.cm = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                m = normalize_rows(table_to_matrix(batch, col=vec_col))
+                assign = np.argmax(self.cm @ m.T, axis=0)
+                sums = np.zeros((c, d), dtype=np.float64)
+                np.add.at(sums, assign, m)
+                counts = np.bincount(assign, minlength=c).astype(np.float64)
+                return pa.table(
+                    {
+                        "centroid": pa.array(range(c), pa.int32()),
+                        "vec_sum": pa.array(
+                            [row.tolist() for row in sums],
+                            pa.list_(pa.float64()),
+                        ),
+                        "count": pa.array(counts, pa.float64()),
+                    }
+                )
+
+        parts = ds.map_batches(
+            AssignPartial,
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=(1, 4),
+        ).take_all()  # O(blocks × C) tiny partial rows — not corpus data
+        sums = np.zeros((c, d), dtype=np.float64)
+        counts = np.zeros(c, dtype=np.float64)
+        for row in parts:
+            sums[row["centroid"]] += np.asarray(row["vec_sum"])
+            counts[row["centroid"]] += row["count"]
+        nonempty = counts > 0
+        cent[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return cent
+
+
 def ann_topk(sf_dir: str, n_queries: int = 5, k: int = 5):
     """Brute-force cosine top-k: per-batch local scores, then one small
     groupby-free top-k on the (nq × n) score stream via sort+limit per qid
@@ -238,9 +301,10 @@ def coarse_centroids(
     k-means over the same sample. Deterministic (fixed sample, fixed seed
     order, argmax ties break low) so IVF list assignment is stable across
     runs; exactness of nprobe=C paths is independent of the codebook.
-    At lake scale the refinement input stays this bounded sample — a
-    distributed assignment pass (one extra map_batches + tiny groupby)
-    would slot in here if codebook quality on the sample plateaus."""
+    At lake scale the refinement input stays this bounded sample; when
+    codebook quality on the sample plateaus, ``kmeans_refine_distributed``
+    runs the same Lloyd update over the FULL corpus with one streaming
+    partial-sum pass per iteration."""
     sample = read_prefix_rows(path, max(1024, n_centroids * 16)).sort_by("vec_id")
     m = table_to_matrix(sample)
     stride = max(1, len(m) // n_centroids)

@@ -294,6 +294,50 @@ def test_decoder_factory_gates_on_pil():
     assert out.num_rows == 8
 
 
+def test_kmeans_refine_distributed_matches_local_lloyd(ray_session):
+    """The distributed partial-sum Lloyd pass must converge to the same
+    codebook as a single-process reference implementation on the same data
+    and seed (block partitioning must not change the result)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from clinical_trials_etl_ray.stages.embed import (
+        kmeans_refine_distributed,
+        normalize_rows,
+    )
+
+    rng = np.random.default_rng(5)
+    n, d, c = 2000, 16, 6
+    x = rng.standard_normal((n, d))
+    seed_cent = x[:c].copy()
+
+    def local_lloyd(cent, iters):
+        cent = cent.astype(np.float64).copy()
+        xm = normalize_rows(x)
+        for _ in range(iters):
+            cm = normalize_rows(cent)
+            assign = np.argmax(cm @ xm.T, axis=0)
+            sums = np.zeros_like(cent)
+            np.add.at(sums, assign, xm)
+            counts = np.bincount(assign, minlength=c).astype(np.float64)
+            ne = counts > 0
+            cent[ne] = sums[ne] / counts[ne, None]
+        return cent
+
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in x], pa.list_(pa.float64())),
+        }
+    )
+    want = local_lloyd(seed_cent, 3)
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = kmeans_refine_distributed(ds, seed_cent, iters=3)
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
 def test_window_invariants():
     """Every one of the driver's first 50 queries is oracle-bearing, and the
     four r3-rotated complex operators sit inside the window."""
