@@ -61,6 +61,7 @@ _ORACLE_FIRST = [
 # punct_stats→C-series via clean_text_documents; all four stay oracle-pinned
 # in pytest)
 _TAIL = [
+    "cdc_final_ts_filter",  # oracle-bearing; pytest-enforced (window is full)
     "punct_stats",
     "docs_containing_the",
     "top_tokens",

@@ -188,6 +188,37 @@ def run_plain() -> dict:
     return out
 
 
+def memcpy_probe(n_procs: int = 1, size_mb: int = 256, reps: int = 3) -> float:
+    """Aggregate memcpy bandwidth (GB/s) across ``n_procs`` processes — the
+    host-contention probe: this VM's effective memory bandwidth swings 4-10x
+    with neighbor load, and the replay pipeline is bandwidth-bound above a
+    few local CPUs, so every scaling window records the probe alongside the
+    ratio to make degraded-host readings identifiable."""
+    import multiprocessing as mp
+
+    def worker(q):
+        import numpy as _np
+        import time as _t
+
+        a = _np.ones(size_mb * 1024 * 1024 // 8, dtype=_np.float64)
+        b = _np.empty_like(a)
+        _np.copyto(b, a)  # warm both buffers
+        t0 = _t.perf_counter()
+        for _ in range(reps):
+            _np.copyto(b, a)
+        q.put(size_mb * reps / 1024 / (_t.perf_counter() - t0))
+
+    ctx = mp.get_context("fork")  # fork: local worker fn needs no pickling
+    q = ctx.Queue()
+    procs = [ctx.Process(target=worker, args=(q,)) for _ in range(n_procs)]
+    for p in procs:
+        p.start()
+    total = sum(q.get() for _ in procs)
+    for p in procs:
+        p.join()
+    return round(total, 2)
+
+
 def run_scaling() -> dict:
     # generate + warm the shared (larger) input once, outside the timed runs
     global N_EVENTS, BINLOG_CACHE
@@ -228,10 +259,18 @@ def run_scaling() -> dict:
     # running all lo trials then all hi trials biases the ratio by whatever
     # the machine did in between; alternating exposes both levels to the
     # same contention trajectory
+    probe_before = {
+        "memcpy_1p_gbps": memcpy_probe(1),
+        "memcpy_4p_gbps": memcpy_probe(4),
+    }
     lo_runs, hi_runs = [], []
     for _ in range(trials):
         lo_runs.append(run(n_lo))
         hi_runs.append(run(n_hi))
+    probe_after = {
+        "memcpy_1p_gbps": memcpy_probe(1),
+        "memcpy_4p_gbps": memcpy_probe(4),
+    }
     lo = min(lo_runs, key=lambda r: r["value"])
     hi = min(hi_runs, key=lambda r: r["value"])
     tput_lo = lo["extra"]["events_per_sec"]
@@ -249,6 +288,8 @@ def run_scaling() -> dict:
         "all_sec_hi": [r["value"] for r in hi_runs],
         "scaling_efficiency": round(eff, 3),
         "n_events": N_EVENTS,
+        "host_probe_before": probe_before,
+        "host_probe_after": probe_after,
     }
 
 

@@ -90,14 +90,16 @@ def run_cdc_replay(
     files_per_chunk: int = 4,
     compact_first: bool = False,
     conv_range: tuple | None = None,
+    ts_min=None,
 ):
     """Full engine E2E: derive binlog → write shards → chunked replay with
     manifest commits → shuffle-free final-table read. Returns the final
     transcript table as a pyarrow Table.
 
     ``compact_first`` folds every bucket to a sorted, stats-carrying base
-    file before the read; ``conv_range`` exercises the manifest-pruned
-    predicate-pushdown read path (stages/merge.read_final_table)."""
+    file before the read; ``conv_range`` / ``ts_min`` exercise the
+    manifest-pruned predicate-pushdown read paths
+    (stages/merge.read_final_table)."""
     from ..pipelines.replay import compact, replay
     from ..stages.merge import read_final_table
 
@@ -108,7 +110,7 @@ def run_cdc_replay(
     replay(binlog_dir, lake_dir, num_buckets=num_buckets, files_per_chunk=files_per_chunk)
     if compact_first:
         compact(lake_dir)
-    final = read_final_table(lake_dir, conv_range=conv_range)
+    final = read_final_table(lake_dir, conv_range=conv_range, ts_min=ts_min)
     # materialize before cleaning the temp lake (result is ~#keys rows, small
     # relative to the log; the heavy work happened in the replay above)
     from ..schema import TRANSCRIPT_SCHEMA
@@ -259,6 +261,53 @@ SELECT * FROM final WHERE conv_id >= 'c1' AND conv_id <= 'c2'
 """
 
 
+def _events_ts_mid_us(sf_dir: str) -> int:
+    """min + (max−min)//2 of the events table's ts in epoch µs, from parquet
+    row-group statistics (O(row groups) driver I/O; falls back to a
+    single-column read only if a writer omitted stats). Must stay
+    arithmetically identical to the SQL oracle's expression."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "events.parquet")
+    f = pq.ParquetFile(path)
+    md = f.metadata
+    idx = md.schema.to_arrow_schema().get_field_index("ts")
+    mins, maxs = [], []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            t = pq.read_table(path, columns=["ts"])
+            mm = pc.min_max(t["ts"].cast(pa.int64())).as_py()
+            return mm["min"] + (mm["max"] - mm["min"]) // 2
+        mins.append(st.min)
+        maxs.append(st.max)
+
+    def us(v):
+        return pa.scalar(v, pa.timestamp("us")).cast(pa.int64()).as_py()
+
+    lo, hi = min(us(v) for v in mins), max(us(v) for v in maxs)
+    return lo + (hi - lo) // 2
+
+
+def q_cdc_final_ts_filter(sf_dir: str):
+    """Event-time access path to the lake: replay → compact (records
+    per-file ts ranges in the manifest) → read with ``ts_min`` at the
+    events-table ts midpoint — files wholly below the cut are pruned from
+    manifest stats before any I/O (the sound prune argued in
+    stages/merge.read_final_table), then rows are filtered post-LWW."""
+    return run_cdc_replay(
+        sf_dir, compact_first=True, ts_min=_events_ts_mid_us(sf_dir)
+    )
+
+
+SQL_FINAL_TS_FILTER = f"""
+WITH final AS ({SQL_FINAL})
+SELECT * FROM final WHERE epoch_us(ts) >= (
+  SELECT epoch_us(min(ts)) + (epoch_us(max(ts)) - epoch_us(min(ts))) // 2
+  FROM events)
+"""
+
+
 def q_validate_events(sf_dir: str):
     """Per-row validation verdicts over the derived binlog — (lsn, valid,
     n_issues), SQL-checkable; the full issue lists + quarantine split are
@@ -311,6 +360,7 @@ QUERIES = {
     "cdc_replay_final": q_cdc_replay_final,
     "cdc_final_by_role": q_cdc_final_by_role,
     "cdc_final_conv_filter": q_cdc_final_conv_filter,
+    "cdc_final_ts_filter": q_cdc_final_ts_filter,
     "validate_events": q_validate_events,
 }
 
@@ -320,5 +370,6 @@ ORACLE_SQL = {
     "cdc_replay_final": SQL_FINAL,
     "cdc_final_by_role": SQL_FINAL_BY_ROLE,
     "cdc_final_conv_filter": SQL_FINAL_CONV_FILTER,
+    "cdc_final_ts_filter": SQL_FINAL_TS_FILTER,
     "validate_events": SQL_VALIDATE_EVENTS,
 }

@@ -10,7 +10,16 @@ SF = "/root/testdata/sf0.001"
 
 
 @pytest.mark.parametrize(
-    "name", ["orders_page", "docs_containing_the", "top_tokens", "punct_stats"]
+    "name",
+    [
+        "orders_page",
+        "docs_containing_the",
+        "top_tokens",
+        "punct_stats",
+        # r3 addition: event-time predicate-pushdown read (oracle-bearing
+        # tail entry — the 50-slot window is full)
+        "cdc_final_ts_filter",
+    ],
 )
 def test_displaced_window_queries_match_oracle(ray_session, name):
     """These four were rotated out of the driver window in r3 (their operator
