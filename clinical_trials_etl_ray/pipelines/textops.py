@@ -294,21 +294,65 @@ def q_simhash_pairs(sf_dir: str):
     return dedupe_pairs(cand)
 
 
-def q_dedup_survivors_minhash(sf_dir: str):
+# dropped-id sets at or below this broadcast as one sorted array (80 MB at
+# the cap) and the anti-join degenerates to a per-batch np.isin filter with
+# NO corpus exchange; above it, the co-partitioned distributed anti-join is
+# the floor (a 100-TB corpus can drop billions of ids)
+BROADCAST_DROP_MAX_IDS = 10_000_000
+
+
+def q_dedup_survivors_minhash(sf_dir: str, anti: str = "auto"):
     """Near-dup dedup policy: greedy keep-the-smaller-id — every doc that is
-    the larger member of any near-dup pair is dropped. Fully distributed:
-    the corpus anti-joins the pair list's ``id_b`` side via the
-    co-partitioned hash join (stages/join.py) — no driver-side
-    materialization of either the corpus or the pair list."""
+    the larger member of any near-dup pair is dropped.
+
+    The pair list is bounded by the verified-duplicate count, so it is
+    materialized (small) and counted; ``anti="auto"`` then picks:
+    "broadcast" (≤ BROADCAST_DROP_MAX_IDS dropped ids): the unique id array
+    is built INSIDE a Ray task from the materialized blocks (driver holds
+    only refs) and each corpus batch filters with one vectorized
+    ``np.isin`` — zero corpus exchange; "join": the co-partitioned
+    distributed anti-join (stages/join.py) — the scale floor for huge drop
+    sets. Both paths are pinned equal by test."""
+    import ray
+
     from ..stages.join import copartition_join
 
     pairs = q_near_dup_jaccard(sf_dir)
     dropped = pairs.map_batches(
         lambda t: t.select(["id_b"]).rename_columns(["doc_id"]),
         batch_format="pyarrow",
-    )
+    ).materialize()  # bounded by pair count; avoids re-running the
+    # jaccard pipeline for the count + the consume below
     docs = _docs(sf_dir, columns=("doc_id",))
-    return copartition_join(docs, dropped, on="doc_id", num_buckets=16, how="anti")
+    if anti == "auto":
+        anti = (
+            "broadcast"
+            if dropped.count() <= BROADCAST_DROP_MAX_IDS
+            else "join"
+        )
+    if anti == "join":
+        return copartition_join(
+            docs, dropped, on="doc_id", num_buckets=16, how="anti"
+        )
+
+    @ray.remote
+    def _unique_ids(*blocks):
+        t = pa.concat_tables(blocks)
+        return np.unique(t["doc_id"].to_numpy(zero_copy_only=False))
+
+    ids_ref = _unique_ids.remote(*dropped.to_arrow_refs())
+
+    class DropFilter:
+        def __init__(self):
+            self.ids = ray.get(ids_ref)  # sorted unique, fetched per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(~np.isin(d, self.ids)))
+
+    return docs.map_batches(
+        DropFilter, batch_format="pyarrow", concurrency=(1, 4)
+    )
 
 
 # ---------------------------------------------------------------------------
