@@ -62,6 +62,7 @@ _ORACLE_FIRST = [
 # in pytest)
 _TAIL = [
     "cdc_final_ts_filter",  # oracle-bearing; pytest-enforced (window is full)
+    "cdc_change_feed",      # oracle-bearing; pytest-enforced (window is full)
     "punct_stats",
     "docs_containing_the",
     "top_tokens",

@@ -93,6 +93,21 @@ def main(argv=None) -> int:
     dp.add_argument("--ts-max", default=None,
                     help="inclusive event-time end (ISO ts or epoch µs int)")
 
+    chp = sub.add_parser(
+        "changes",
+        help="net-change feed (since_lsn, until_lsn] for downstream "
+             "consumers — collapsed change rows incl. delete tombstones; "
+             "manifest-pruned to the delta files committed in the range",
+    )
+    chp.add_argument("lake_dir")
+    chp.add_argument("out_dir")
+    chp.add_argument("--since-lsn", type=int, required=True,
+                     help="exclusive lower LSN bound (your last watermark)")
+    chp.add_argument("--until-lsn", type=int, default=None,
+                     help="inclusive upper LSN bound (default: everything)")
+    chp.add_argument("--format", choices=["parquet", "csv", "json"],
+                     default="parquet")
+
     op = sub.add_parser("oracle")
     op.add_argument("binlog_dir")
     op.add_argument("out_path")
@@ -202,6 +217,19 @@ def main(argv=None) -> int:
                 conv_range=conv_range,
                 ts_min=_ts_arg(args.ts_min),
                 ts_max=_ts_arg(args.ts_max),
+            )
+            {"parquet": write_parquet, "csv": write_csv, "json": write_json}[
+                args.format
+            ](ds, args.out_dir)
+            print(json.dumps({"out": args.out_dir}))
+        elif args.cmd == "changes":
+            from .sources.writers import write_csv, write_json, write_parquet
+            from .stages.merge import read_change_feed
+
+            ds = read_change_feed(
+                args.lake_dir,
+                since_lsn=args.since_lsn,
+                until_lsn=args.until_lsn,
             )
             {"parquet": write_parquet, "csv": write_csv, "json": write_json}[
                 args.format

@@ -308,6 +308,89 @@ SELECT * FROM final WHERE epoch_us(ts) >= (
 """
 
 
+def _events_lsn_bounds(sf_dir: str) -> tuple[int, int]:
+    """(min, max) of events.event_id (= binlog lsn) from parquet row-group
+    statistics — O(row groups) driver I/O."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "events.parquet")
+    md = pq.ParquetFile(path).metadata
+    idx = md.schema.to_arrow_schema().get_field_index("event_id")
+    mins, maxs = [], []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            t = pq.read_table(path, columns=["event_id"])
+            mm = pc.min_max(t["event_id"]).as_py()
+            return mm["min"], mm["max"]
+        mins.append(st.min)
+        maxs.append(st.max)
+    return min(mins), max(maxs)
+
+
+def q_cdc_change_feed(sf_dir: str):
+    """Incremental consumption (the downstream half of CDC): replay the
+    derived binlog into a lake, then read the NET-CHANGE FEED for the
+    middle half of the LSN span — collapsed change rows including delete
+    tombstones, exactly what a consumer polling "changes since my
+    watermark" applies to its copy.
+
+    The binlog is staged in three lsn partitions split AT the window cuts
+    and replayed with files_per_chunk=1, so no ingest chunk straddles a
+    cut — at watermark-aligned cuts the collapsed feed equals the SQL LWW
+    over the raw in-window rows exactly (the same watermark-exactness
+    contract as ``as_of_lsn`` time travel; the apply-invariant at
+    ARBITRARY cuts is pytest-pinned in test_round3)."""
+    from ..pipelines.replay import replay
+    from ..stages.merge import read_change_feed
+
+    mn, mx = _events_lsn_bounds(sf_dir)
+    s = mn + (mx - mn) // 4
+    u = mn + (3 * (mx - mn)) // 4
+
+    work = tempfile.mkdtemp(prefix="cdc_feed_", dir="/tmp")
+    binlog_dir = os.path.join(work, "binlog")
+    lake_dir = os.path.join(work, "lake")
+    ds = derived_binlog_ds(sf_dir)
+    for lo, hi in ((None, s), (s, u), (u, None)):
+        def cut(t: pa.Table, lo=lo, hi=hi) -> pa.Table:
+            if lo is not None:
+                t = t.filter(pc.greater(t["lsn"], lo))
+            if hi is not None:
+                t = t.filter(pc.less_equal(t["lsn"], hi))
+            return t
+
+        ds.map_batches(cut, batch_format="pyarrow").write_parquet(binlog_dir)
+    replay(binlog_dir, lake_dir, num_buckets=16, files_per_chunk=1)
+    from ..schema import EVENT_SCHEMA
+
+    feed = read_change_feed(lake_dir, since_lsn=s, until_lsn=u)
+    table = pa.concat_tables(
+        list(feed.iter_batches(batch_format="pyarrow"))
+        or [EVENT_SCHEMA.empty_table()]
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return table
+
+
+SQL_CHANGE_FEED = f"""
+WITH binlog AS ({BINLOG_CTE}),
+bounds AS (SELECT min(event_id) AS mn, max(event_id) AS mx FROM events),
+win AS (
+  SELECT b.* FROM binlog b, bounds
+  WHERE b.lsn > mn + (mx - mn) // 4
+    AND b.lsn <= mn + (3 * (mx - mn)) // 4
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM win
+)
+SELECT lsn, op, conv_id, turn_idx, role, text, tool, ts
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_validate_events(sf_dir: str):
     """Per-row validation verdicts over the derived binlog — (lsn, valid,
     n_issues), SQL-checkable; the full issue lists + quarantine split are
@@ -361,6 +444,7 @@ QUERIES = {
     "cdc_final_by_role": q_cdc_final_by_role,
     "cdc_final_conv_filter": q_cdc_final_conv_filter,
     "cdc_final_ts_filter": q_cdc_final_ts_filter,
+    "cdc_change_feed": q_cdc_change_feed,
     "validate_events": q_validate_events,
 }
 
@@ -371,5 +455,6 @@ ORACLE_SQL = {
     "cdc_final_by_role": SQL_FINAL_BY_ROLE,
     "cdc_final_conv_filter": SQL_FINAL_CONV_FILTER,
     "cdc_final_ts_filter": SQL_FINAL_TS_FILTER,
+    "cdc_change_feed": SQL_CHANGE_FEED,
     "validate_events": SQL_VALIDATE_EVENTS,
 }

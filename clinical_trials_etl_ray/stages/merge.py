@@ -276,8 +276,14 @@ def resolve_bucket(
     files: list,
     as_of_lsn: int | None = None,
     conv_range: tuple | None = None,
+    since_lsn: int | None = None,
 ) -> pa.Table:
     """Read one bucket's base+delta files and resolve LWW winners.
+
+    ``since_lsn`` (exclusive lower bound) restricts to rows with
+    lsn > since_lsn — files whose manifest ``max_lsn`` ≤ since_lsn are
+    pruned unread. Combined with ``as_of_lsn`` this yields the net-change
+    window (since, as_of]; see ``read_change_feed``.
 
     Returns full event-payload rows (incl. op/lsn) — tombstones still present.
     Schema evolution across file generations is handled by unifying every
@@ -309,6 +315,8 @@ def resolve_bucket(
     lake."""
     if as_of_lsn is not None:
         files = [f for f in files if f.get("min_lsn", 0) <= as_of_lsn]
+    if since_lsn is not None:
+        files = [f for f in files if f.get("max_lsn", since_lsn + 1) > since_lsn]
     if conv_range is not None:
         lo, hi = conv_range
         files = [
@@ -326,6 +334,8 @@ def resolve_bucket(
         t = pq.read_table(os.path.join(lake_dir, f["path"]))
         if as_of_lsn is not None and f.get("max_lsn", as_of_lsn) > as_of_lsn:
             t = t.filter(pc.less_equal(t["lsn"], as_of_lsn))
+        if since_lsn is not None and f.get("min_lsn", since_lsn) <= since_lsn:
+            t = t.filter(pc.greater(t["lsn"], since_lsn))
         return t
 
     if len(files) <= 2:
@@ -516,6 +526,96 @@ def read_final_table(
     ds = ray.data.from_items(items, override_num_blocks=len(items))
     kwargs = {"concurrency": concurrency} if concurrency else {}
     return ds.map_batches(resolve, batch_format="pyarrow", batch_size=1, **kwargs)
+
+
+def read_change_feed(
+    lake_dir: str,
+    since_lsn: int,
+    until_lsn: int | None = None,
+    concurrency: int | None = None,
+    version: int | None = None,
+):
+    """Net-change feed for downstream CDC consumers: the LWW-collapsed
+    change rows with ``since_lsn < lsn ≤ until_lsn`` (until None = current
+    watermark), INCLUDING delete tombstones — full event rows (op/lsn kept)
+    so a consumer can apply them to its own copy of the table.
+
+    Shuffle-free like the final-table read: one task per bucket; files are
+    pruned unread from manifest lsn ranges (a consumer polling "changes
+    since my last watermark" touches only the delta files committed since —
+    O(new data), not O(lake)).
+
+    Semantics (tested invariant): for any S ≤ U on one manifest snapshot,
+    LWW-applying feed(S, U] onto the as-of-S winners yields exactly the
+    as-of-U winners — because every file row lands on exactly one side of
+    the S cut and LWW is associative. Changes superseded WITHIN the window
+    (or collapsed by ingest pre-dedupe / compaction) appear only as their
+    net effect — the standard collapsed CDC feed, same granularity as
+    ``as_of_lsn`` time travel.
+
+    Reference analog: the reference has no incremental consumption at all
+    (SURVEY §4) — downstreams re-exported the full collection
+    (trials_extractor/storage/json_exporter.py); this is the Ray-native
+    incremental replacement.
+    """
+    import ray.data
+
+    from ..state.manifest import Manifest
+
+    man = (
+        Manifest.load(lake_dir)
+        if version is None
+        else Manifest.load_version(lake_dir, version)
+    )
+
+    def _pruned(b: int) -> list:
+        files = man.files_for_bucket(b)
+        files = [f for f in files if f.get("max_lsn", since_lsn + 1) > since_lsn]
+        if until_lsn is not None:
+            files = [f for f in files if f.get("min_lsn", 0) <= until_lsn]
+        return files
+
+    # one uniform output schema across buckets (evolved columns null-fill)
+    committed = None
+    if man.schema_ipc:
+        from ..schema import schema_from_b64
+
+        committed = schema_from_b64(man.schema_ipc)
+
+    files_by_bucket = {b: _pruned(b) for b in range(man.num_buckets)}
+    items = [
+        {"bucket": b, "lake_dir": lake_dir}
+        for b in range(man.num_buckets)
+        if files_by_bucket[b]
+    ]
+    if not items:
+        return ray.data.from_arrow(
+            committed.empty_table() if committed is not None
+            else EVENT_SCHEMA.empty_table()
+        )
+
+    def feed(batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            t = resolve_bucket(
+                row["lake_dir"],
+                row["bucket"],
+                files_by_bucket[row["bucket"]],
+                as_of_lsn=until_lsn,
+                since_lsn=since_lsn,
+            )
+            if committed is not None:
+                from ..schema import unify_to_schema
+
+                t = unify_to_schema(t, committed)
+            out.append(t)
+        return (
+            pa.concat_tables(out) if out else EVENT_SCHEMA.empty_table()
+        )
+
+    ds = ray.data.from_items(items, override_num_blocks=len(items))
+    kwargs = {"concurrency": concurrency} if concurrency else {}
+    return ds.map_batches(feed, batch_format="pyarrow", batch_size=1, **kwargs)
 
 
 def compact_bucket(

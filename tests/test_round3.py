@@ -2,6 +2,7 @@
 window (orders_page, docs_containing_the, top_tokens, punct_stats) keep
 their oracle pins here; plus regression tests for round-3 fixes."""
 
+import pyarrow as pa
 import pytest
 
 from util_compare import assert_matches_oracle
@@ -16,9 +17,11 @@ SF = "/root/testdata/sf0.001"
         "docs_containing_the",
         "top_tokens",
         "punct_stats",
-        # r3 addition: event-time predicate-pushdown read (oracle-bearing
-        # tail entry — the 50-slot window is full)
+        # r3 additions: event-time predicate-pushdown read and the
+        # net-change feed (oracle-bearing tail entries — the 50-slot
+        # window is full)
         "cdc_final_ts_filter",
+        "cdc_change_feed",
     ],
 )
 def test_displaced_window_queries_match_oracle(ray_session, name):
@@ -272,6 +275,65 @@ def test_ivf_kmeans_refinement_beats_strided_recall(tmp_path):
     r_refined = recall(coarse_centroids(path, 8))
     assert r_refined > r_strided
     assert r_refined >= 0.95
+
+
+def test_change_feed_apply_invariant(ts_lake):
+    """For ANY cuts S ≤ U on one manifest: LWW-applying feed(S, U] onto the
+    as-of-S winners (= feed(-1, S]) equals the as-of-U winners — the
+    consumer contract of the net-change feed. Checked at arbitrary interior
+    cuts (not just watermarks) and at the extremes."""
+    from clinical_trials_etl_ray.stages.dedupe import lww_winners
+    from clinical_trials_etl_ray.stages.merge import read_change_feed
+    from clinical_trials_etl_ray.state.manifest import Manifest
+
+    man = Manifest.load(ts_lake)
+    hi = max(
+        f["max_lsn"] for b in range(8) for f in man.files_for_bucket(b)
+    )
+    def collect(since, until):
+        tabs = list(
+            read_change_feed(ts_lake, since_lsn=since, until_lsn=until)
+            .iter_batches(batch_format="pyarrow")
+        )
+        return pa.concat_tables(tabs, promote_options="default") if tabs else None
+
+    for s, u in ((-1, hi), (hi // 3, (2 * hi) // 3), (0, hi // 2)):
+        state_s = collect(-1, s)
+        feed = collect(s, u)
+        state_u = collect(-1, u)
+        parts = [t for t in (state_s, feed) if t is not None]
+        assert parts and state_u is not None
+        applied = lww_winners(pa.concat_tables(parts, promote_options="default"))
+        want = state_u.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending"), ("lsn", "ascending")])
+        got = applied.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending"), ("lsn", "ascending")])
+        assert got.select(want.column_names).equals(want), (s, u)
+
+
+def test_change_feed_prunes_and_empty_past_watermark(ts_lake):
+    """feed(watermark, ...) touches no files (delete-files proof) and is
+    empty; feed rows carry op/lsn including delete tombstones."""
+    import os
+
+    import pyarrow.compute as pc
+
+    from clinical_trials_etl_ray.stages.merge import read_change_feed
+    from clinical_trials_etl_ray.state.manifest import Manifest
+
+    man = Manifest.load(ts_lake)
+    files = [f for b in range(8) for f in man.files_for_bucket(b)]
+    hi = max(f["max_lsn"] for f in files)
+    full = pa.concat_tables(
+        read_change_feed(ts_lake, since_lsn=-1).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    assert {"lsn", "op"} <= set(full.column_names)
+    assert pc.sum(pc.equal(full["op"], "delete").cast("int64")).as_py() > 0
+    for f in files:
+        os.remove(os.path.join(ts_lake, f["path"]))
+    assert (
+        read_change_feed(ts_lake, since_lsn=hi).count() == 0
+    ), "fully-pruned feed must read nothing"
 
 
 def test_survivors_broadcast_equals_join_path(ray_session):
