@@ -2,6 +2,9 @@
 window (orders_page, docs_containing_the, top_tokens, punct_stats) keep
 their oracle pins here; plus regression tests for round-3 fixes."""
 
+import os
+import shutil
+
 import pyarrow as pa
 import pytest
 
@@ -277,36 +280,98 @@ def test_ivf_kmeans_refinement_beats_strided_recall(tmp_path):
     assert r_refined >= 0.95
 
 
-def test_change_feed_apply_invariant(ts_lake):
-    """For ANY cuts S ≤ U on one manifest: LWW-applying feed(S, U] onto the
-    as-of-S winners (= feed(-1, S]) equals the as-of-U winners — the
-    consumer contract of the net-change feed. Checked at arbitrary interior
-    cuts (not just watermarks) and at the extremes."""
+def _check_feed_invariant(lake: str, cuts) -> None:
+    """apply(state_S, feed(S,U]) == state_U for each (S, U) in cuts."""
     from clinical_trials_etl_ray.stages.dedupe import lww_winners
     from clinical_trials_etl_ray.stages.merge import read_change_feed
-    from clinical_trials_etl_ray.state.manifest import Manifest
 
-    man = Manifest.load(ts_lake)
-    hi = max(
-        f["max_lsn"] for b in range(8) for f in man.files_for_bucket(b)
-    )
     def collect(since, until):
         tabs = list(
-            read_change_feed(ts_lake, since_lsn=since, until_lsn=until)
+            read_change_feed(lake, since_lsn=since, until_lsn=until)
             .iter_batches(batch_format="pyarrow")
         )
         return pa.concat_tables(tabs, promote_options="default") if tabs else None
 
-    for s, u in ((-1, hi), (hi // 3, (2 * hi) // 3), (0, hi // 2)):
+    key = [
+        ("conv_id", "ascending"),
+        ("turn_idx", "ascending"),
+        ("lsn", "ascending"),
+    ]
+    for s, u in cuts:
         state_s = collect(-1, s)
         feed = collect(s, u)
         state_u = collect(-1, u)
         parts = [t for t in (state_s, feed) if t is not None]
         assert parts and state_u is not None
         applied = lww_winners(pa.concat_tables(parts, promote_options="default"))
-        want = state_u.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending"), ("lsn", "ascending")])
-        got = applied.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending"), ("lsn", "ascending")])
+        want = state_u.sort_by(key)
+        got = applied.sort_by(key)
         assert got.select(want.column_names).equals(want), (s, u)
+
+
+def test_change_feed_apply_invariant(ts_lake):
+    """For ANY cuts S ≤ U on one manifest: LWW-applying feed(S, U] onto the
+    as-of-S winners (= feed(-1, S]) equals the as-of-U winners — the
+    consumer contract of the net-change feed. Checked at arbitrary interior
+    cuts (not just watermarks) and at the extremes."""
+    from clinical_trials_etl_ray.state.manifest import Manifest
+
+    man = Manifest.load(ts_lake)
+    hi = max(
+        f["max_lsn"] for b in range(8) for f in man.files_for_bucket(b)
+    )
+    _check_feed_invariant(
+        ts_lake, ((-1, hi), (hi // 3, (2 * hi) // 3), (0, hi // 2))
+    )
+
+
+def test_change_feed_invariant_across_compacted_base_and_new_deltas(
+    ray_session, ts_lake, tmp_path
+):
+    """The mixed file-kind case a long-lived lake actually has: a compacted
+    base PLUS a second ingest generation of deltas (same conv keys →
+    genuine cross-generation supersessions). The apply-invariant must hold
+    at cuts inside generation 1, at the generation boundary, and spanning
+    both."""
+    import pyarrow.parquet as pq
+
+    from clinical_trials_etl_ray.pipelines.replay import replay
+    from clinical_trials_etl_ray.state.manifest import Manifest
+    from clinical_trials_etl_ray.synth import BinlogSpec, write_binlog_shards
+
+    man = Manifest.load(ts_lake)
+    hi1 = max(f["max_lsn"] for b in range(8) for f in man.files_for_bucket(b))
+
+    raw = str(tmp_path / "binlog2_raw")
+    spec2 = BinlogSpec(
+        n_events=3000, n_convs=50, seed=9, duplicate_rate=0.05,
+        shuffle_window=64,
+    )
+    write_binlog_shards(spec2, raw, n_shards=2, parallel=False)
+    shifted = str(tmp_path / "binlog2")
+    os.makedirs(shifted)
+    for name in sorted(os.listdir(raw)):
+        src = os.path.join(raw, name)
+        if name.endswith(".parquet"):
+            t = pq.read_table(src)
+            i = t.schema.get_field_index("lsn")
+            t = t.set_column(
+                i, "lsn", pa.compute.add(t["lsn"], hi1 + 1)
+            )
+            pq.write_table(t, os.path.join(shifted, name))
+        else:  # _meta.json sidecar (disorder bound) rides along
+            shutil.copy(src, os.path.join(shifted, name))
+    replay(shifted, ts_lake, num_buckets=8, files_per_chunk=2)
+
+    man2 = Manifest.load(ts_lake)
+    hi2 = max(f["max_lsn"] for b in range(8) for f in man2.files_for_bucket(b))
+    assert hi2 > hi1
+    kinds = {f["kind"] for b in range(8) for f in man2.files_for_bucket(b)}
+    assert kinds == {"base", "delta"}  # the mixed layout under test
+    _check_feed_invariant(
+        ts_lake,
+        ((hi1 // 2, hi1), (hi1, hi2), (hi1 // 2, hi1 + 1500), (-1, hi2)),
+    )
 
 
 def test_change_feed_prunes_and_empty_past_watermark(ts_lake):
