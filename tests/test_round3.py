@@ -414,6 +414,37 @@ def test_survivors_broadcast_equals_join_path(ray_session):
     assert sorted(a["doc_id"]) == sorted(b["doc_id"])
 
 
+def test_topk_per_query_tie_safe_vs_full_sort():
+    """The fused per-batch top-k cut must preserve the exact global result
+    under cosine ties at the k boundary: every tied candidate is retained
+    so the final (cos desc, vec_id asc) cut matches a full sort. Uses
+    quantized scores to force many exact ties."""
+    import numpy as np
+
+    from clinical_trials_etl_ray.stages.embed import topk_per_query
+
+    rng = np.random.default_rng(11)
+    k = 5
+    for trial in range(20):
+        nq, nb = 3, 64
+        qids = np.array([1000, 2000, 3000], dtype=np.int64)
+        vec_ids = rng.permutation(np.arange(nb, dtype=np.int64) + trial)
+        # quantized to 4 levels -> dense exact ties at every boundary
+        cos = rng.integers(0, 4, size=(nq, nb)).astype(np.float64) / 4.0
+        out = topk_per_query(qids, vec_ids, cos, k).to_pandas()
+        for qi, qid in enumerate(qids):
+            mask = vec_ids != qid
+            order = np.lexsort((vec_ids[mask], -cos[qi][mask]))
+            want = list(
+                zip(vec_ids[mask][order][:k], cos[qi][mask][order][:k])
+            )
+            g = out[out["qid"] == qid].sort_values(
+                ["cos", "vec_id"], ascending=[False, True]
+            )
+            got = list(zip(g["vec_id"], g["cos"]))[:k]
+            assert got == want, (trial, qid)
+
+
 def test_decoder_factory_gates_on_pil():
     """make_decoder returns the real PIL kernel when the library exists,
     else the deterministic stub; both share the output layout."""
