@@ -355,6 +355,26 @@ def q_dedup_survivors_minhash(sf_dir: str, anti: str = "auto"):
     )
 
 
+def q_near_dup_clusters(sf_dir: str):
+    """Transitive near-dup CLUSTERS: the MinHash+LSH+verify pair stream fed
+    through distributed connected components (stages/graph.py min-label
+    propagation) — each doc in any pair labeled with the minimum doc_id
+    reachable through the near-dup graph. This is the principled grouping
+    behind dedup policies (keep one representative per cluster) vs the
+    1-hop survivors heuristic; oracle = recursive-CTE transitive closure
+    over the exact all-pairs SQL pair set."""
+    from ..stages.graph import connected_components
+
+    pairs = q_near_dup_jaccard(sf_dir).map_batches(
+        lambda df: df[["id_a", "id_b"]], batch_format="pandas"
+    )
+    labels = connected_components(pairs)
+    return labels.map_batches(
+        lambda df: df.rename(columns={"node": "doc_id", "lbl": "cluster_id"}),
+        batch_format="pandas",
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding similarity
 # ---------------------------------------------------------------------------
@@ -513,6 +533,7 @@ QUERIES = {
     "near_dup_jaccard": q_near_dup_jaccard,
     "simhash_pairs": q_simhash_pairs,
     "dedup_survivors_minhash": q_dedup_survivors_minhash,
+    "near_dup_clusters": q_near_dup_clusters,
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
     "ann_topk_ivf_probe": q_ann_topk_ivf_probe,
@@ -553,6 +574,28 @@ common AS (
   GROUP BY 1, 2
 )
 """
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_PAIRS_CTE},
+jpairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.8
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jpairs
+  UNION ALL
+  SELECT id_b, id_a FROM jpairs
+),
+reach(node, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+)
+SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+"""
+
 
 _JACCARD_SQL = f"""
 WITH {_PAIRS_CTE}
@@ -628,6 +671,7 @@ ORACLE_SQL = {
     ),
     "near_dup_jaccard": _JACCARD_SQL,
     "dedup_survivors_minhash": _SURVIVORS_SQL,
+    "near_dup_clusters": _CLUSTERS_SQL,
     "training_data_prep": _TRAINING_PREP_SQL,  # pytest-checked (tail entry)
     "ann_topk": _ANN_SQL,
     "ann_topk_ivf": _ANN_SQL,  # nprobe = n_centroids ⇒ exact brute-force

@@ -25,6 +25,7 @@ SF = "/root/testdata/sf0.001"
         # window is full)
         "cdc_final_ts_filter",
         "cdc_change_feed",
+        "near_dup_clusters",
     ],
 )
 def test_displaced_window_queries_match_oracle(ray_session, name):
@@ -399,6 +400,33 @@ def test_change_feed_prunes_and_empty_past_watermark(ts_lake):
     assert (
         read_change_feed(ts_lake, since_lsn=hi).count() == 0
     ), "fully-pruned feed must read nothing"
+
+
+def test_connected_components_known_graph(ray_session):
+    """Min-label propagation on a known graph: a 5-chain (worst diameter),
+    a triangle, and a disjoint pair — every node labeled with its
+    component's min id, invariant to input partitioning."""
+    import pandas as pd
+    import ray.data
+
+    from clinical_trials_etl_ray.stages.graph import connected_components
+
+    # chain 10-11-12-13-14, triangle 20-21-22, pair 30-31
+    pairs = pd.DataFrame(
+        {
+            "id_a": [11, 12, 13, 14, 20, 21, 22, 31],
+            "id_b": [10, 11, 12, 13, 21, 22, 20, 30],
+        }
+    )
+    want = {
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30,
+    }
+    for blocks in (1, 4):
+        ds = ray.data.from_pandas(pairs).repartition(blocks)
+        got = connected_components(ds).to_pandas()
+        assert dict(zip(got["node"], got["lbl"])) == want
 
 
 def test_survivors_broadcast_equals_join_path(ray_session):
