@@ -355,6 +355,23 @@ def q_dedup_survivors_minhash(sf_dir: str, anti: str = "auto"):
     )
 
 
+def q_pack_documents(sf_dir: str):
+    """Rows-only: token counting → sequence packing (stages/pack.py) at a
+    256-token budget — every doc assigned to a pack whose members sum to
+    ≤ budget (oversized docs flagged, never dropped). Greedy stateful per
+    hash-group, so not SQL-expressible; properties (coverage, budget,
+    determinism, parallelism-invariance) are pytest-pinned."""
+    from ..stages.pack import pack_sequences
+
+    ds = _docs(sf_dir).map_batches(
+        TokenCounter, batch_format="pandas", concurrency=(1, 4), batch_size=4096
+    )
+    ds = ds.map_batches(
+        lambda df: df[["doc_id", "n_ws_tokens"]], batch_format="pandas"
+    )
+    return pack_sequences(ds, budget=256, count_col="n_ws_tokens")
+
+
 def q_near_dup_clusters(sf_dir: str):
     """Transitive near-dup CLUSTERS: the MinHash+LSH+verify pair stream fed
     through distributed connected components (stages/graph.py min-label
@@ -534,6 +551,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "dedup_survivors_minhash": q_dedup_survivors_minhash,
     "near_dup_clusters": q_near_dup_clusters,
+    "pack_documents": q_pack_documents,
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
     "ann_topk_ivf_probe": q_ann_topk_ivf_probe,

@@ -429,6 +429,51 @@ def test_connected_components_known_graph(ray_session):
         assert dict(zip(got["node"], got["lbl"])) == want
 
 
+def test_pack_sequences_properties(ray_session):
+    """Every doc packed exactly once; per-pack token sums ≤ budget except
+    flagged single-doc overflow packs; deterministic and invariant to
+    input partitioning."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from clinical_trials_etl_ray.stages.pack import pack_sequences
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "n_tokens": np.r_[
+                rng.integers(1, 200, size=n - 3),
+                [500, 257, 256],  # two oversized (budget 256) + one exact-fit
+            ],
+        }
+    )
+    budget = 256
+    outs = []
+    for blocks in (1, 5):
+        ds = ray.data.from_pandas(docs).repartition(blocks)
+        out = pack_sequences(ds, budget=budget, num_groups=8).to_pandas()
+        outs.append(out.sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # partitioning-invariant
+
+    out = outs[0]
+    assert sorted(out["doc_id"]) == sorted(docs["doc_id"])  # total coverage
+    sums = out.groupby("pack_id")["n_tokens"].sum()
+    members = out.groupby("pack_id").size()
+    over = out[out["overflow"]]
+    assert set(over["doc_id"]) == {n - 3, n - 2}  # 500 and 257 flagged
+    for pid, s in sums.items():
+        if pid in set(over["pack_id"]):
+            assert members[pid] == 1  # oversized docs pack alone
+        else:
+            assert s <= budget
+    # FFD utilization sanity: mean non-overflow pack fill well above half
+    ok = sums[~sums.index.isin(set(over["pack_id"]))]
+    assert (ok / budget).mean() > 0.7
+
+
 def test_survivors_broadcast_equals_join_path(ray_session):
     """The size-aware anti-join: broadcast np.isin filter ≡ distributed
     co-partitioned anti-join on the same input (both vs each other and in
