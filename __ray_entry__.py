@@ -64,6 +64,7 @@ _TAIL = [
     "cdc_final_ts_filter",  # oracle-bearing; pytest-enforced (window is full)
     "cdc_change_feed",      # oracle-bearing; pytest-enforced (window is full)
     "near_dup_clusters",    # oracle-bearing; pytest-enforced (window is full)
+    "decontaminate_docs",   # oracle-bearing; pytest-enforced (window is full)
     "pack_documents",       # rows-only (greedy stateful packing)
     "punct_stats",
     "docs_containing_the",

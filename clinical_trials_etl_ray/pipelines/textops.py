@@ -539,8 +539,73 @@ FROM tok GROUP BY h
 """
 
 
+def q_decontaminate(sf_dir: str, gram: int = 4, mod: int = 97, rem: int = 13):
+    """Benchmark decontamination: surviving corpus doc_ids after dropping
+    every document that shares ANY exact word-4-gram with the benchmark
+    slice (``doc_id % 97 == 13`` — a deterministic stand-in for an eval
+    suite, so the query is hermetic and SQL-checkable).
+
+    Shape: zero shuffles. The small bench side's gram hashes + exact gram
+    strings are built in ONE Ray task and broadcast by ObjectRef; the
+    corpus streams once through a two-phase (vectorized hash prefilter →
+    exact string confirm) ``map_batches`` scan. See ``stages/decon.py``."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.decon import build_benchmark, scan_contaminated
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    @ray.remote
+    def _bench(p: str):
+        t = pq.read_table(p, columns=["doc_id", "text"])
+        mask = (t["doc_id"].to_numpy() % mod) == rem  # pc has no mod kernel
+        return build_benchmark(t.filter(pa.array(mask))["text"].to_pylist(), gram)
+
+    ref = _bench.remote(path)
+
+    ds = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pa.array((t["doc_id"].to_numpy() % mod) != rem)),
+        batch_format="pyarrow",
+    )
+
+    class Scanner:
+        def __init__(self):
+            self.bench_hashes, self.bench_set = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return scan_contaminated(df, self.bench_hashes, self.bench_set, gram)
+
+    flags = ds.map_batches(
+        Scanner, batch_format="pandas", concurrency=(1, 4), batch_size=4096
+    )
+    survivors = flags.map_batches(
+        lambda df: df[~df["contaminated"]][["doc_id"]], batch_format="pandas"
+    )
+    return survivors
+
+
+_DECONTAMINATE_SQL = """
+WITH ng AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1)),
+      i -> array_to_string((string_split(lower(text), ' '))[i:i+3], ' ')))) AS gram
+  FROM documents
+),
+bench AS (SELECT DISTINCT gram FROM ng WHERE doc_id % 97 = 13),
+contaminated AS (
+  SELECT DISTINCT ng.doc_id FROM ng JOIN bench USING (gram)
+  WHERE ng.doc_id % 97 <> 13
+)
+SELECT doc_id FROM documents
+WHERE doc_id % 97 <> 13
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+
 QUERIES = {
     "training_data_prep": q_training_data_prep,
+    "decontaminate_docs": q_decontaminate,
     "token_counts": q_token_counts,
     "punct_stats": q_punct_stats,
     "fingerprint_md5": q_fingerprint_md5,
@@ -666,6 +731,7 @@ WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
 """
 
 ORACLE_SQL = {
+    "decontaminate_docs": _DECONTAMINATE_SQL,
     # degenerate-input alignment (ADVICE r01): empty/whitespace-only text has
     # 0 whitespace tokens (not 1), and NULL text hashes/counts as ''
     # NOTE: trim() strips only spaces in DuckDB; the regexp strip matches

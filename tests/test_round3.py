@@ -607,3 +607,52 @@ def test_window_invariants():
         "validate_events",
     ):
         assert n in window
+
+
+def test_decontaminate_drops_planted_overlap(ray_session):
+    """A corpus doc sharing a 4-gram with a benchmark doc is dropped; docs
+    with no shared 4-gram (including <4-word and empty docs) survive."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from clinical_trials_etl_ray.pipelines.textops import q_decontaminate
+
+    bench_id = 13  # 13 % 97 == 13 → benchmark slice
+    rows = pa.table(
+        {
+            "doc_id": pa.array([13, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma delta epsilon",   # benchmark doc
+                    "x alpha beta gamma delta y",       # shares 4-gram → drop
+                    "alpha beta gamma zeta eta",        # only 3-gram shared → keep
+                    "tiny doc",                         # <4 words → keep
+                    None,                               # null text → keep
+                ]
+            ),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(rows, os.path.join(d, "documents.parquet"))
+        out = q_decontaminate(d).to_pandas()
+    assert sorted(out["doc_id"]) == [2, 3, 4]
+    assert bench_id not in set(out["doc_id"])
+
+
+def test_decon_gram_hash_string_parity():
+    """gram_hashes emits exactly one hash per gram_strings entry (multiset →
+    set alignment), and equal gram strings hash equal across docs."""
+    from clinical_trials_etl_ray.stages.decon import gram_hashes, gram_strings
+
+    texts = [
+        "a b c d e f", "c d e f g", "one two three", "", None,
+        "A B C D",  # case-folds to the gram 'a b c d' of texts[0]
+    ]
+    h, off = gram_hashes(texts, gram=4)
+    for i, t in enumerate(texts):
+        grams = gram_strings(t, gram=4)
+        assert len(set(h[off[i] : off[i + 1]].tolist())) == len(grams)
+    # cross-doc: 'a b c d' occurs in docs 0 and 5 → identical hash
+    assert h[off[0]] == h[off[5]]
