@@ -65,6 +65,7 @@ _TAIL = [
     "cdc_change_feed",      # oracle-bearing; pytest-enforced (window is full)
     "near_dup_clusters",    # oracle-bearing; pytest-enforced (window is full)
     "decontaminate_docs",   # oracle-bearing; pytest-enforced (window is full)
+    "quantiles_by_lang",    # oracle-bearing; pytest-enforced (window is full)
     "pack_documents",       # rows-only (greedy stateful packing)
     "punct_stats",
     "docs_containing_the",

@@ -913,8 +913,56 @@ def q_order_followups_window(sf_dir: str):
     )
 
 
+def q_quantiles_by_lang(sf_dir: str):
+    """Distributed grouped quantiles (p50/p90/p99 of n_chars per lang) via a
+    mergeable value-count histogram: per-batch value_counts partials, ONE
+    small groupby exchange carrying (group × distinct value) rows — NOT the
+    raw rows — then exact quantile reconstruction per group from cumulative
+    counts. Exact for integer domains at any parallelism; at 100 TB the
+    exchange is bounded by group-cardinality × value-cardinality, and a
+    continuous domain drops in as fixed-width bins (approximate) with the
+    same plumbing. Quantile rule pinned to DuckDB ``quantile_disc``:
+    element at rank ceil(q·n). Reference's aggregate forms analog:
+    st_trial_analytics.py partial+final $sum shapes."""
+    import os as _os
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["lang", "n_chars"]
+    )
+
+    def precombine(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.value_counts(["lang", "n_chars"]).reset_index(name="cnt")
+        )
+
+    hist = ds.map_batches(precombine, batch_format="pandas").groupby(
+        ["lang", "n_chars"]
+    ).aggregate(Sum("cnt", alias_name="cnt"))
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("n_chars")
+        c = g["cnt"].to_numpy().cumsum()
+        vals = g["n_chars"].to_numpy()
+        n = int(c[-1])
+
+        def qd(q: float) -> int:
+            rank = max(int(np.ceil(q * n)), 1)
+            return int(vals[np.searchsorted(c, rank)])
+
+        return pd.DataFrame(
+            {"lang": [g["lang"].iloc[0]], "n": [n],
+             "p50": [qd(0.5)], "p90": [qd(0.9)], "p99": [qd(0.99)]}
+        )
+
+    return hist.groupby("lang").map_groups(quantiles, batch_format="pandas")
+
+
 QUERIES = {
     "count_lineitem": q_count_lineitem,
+    "quantiles_by_lang": q_quantiles_by_lang,
     "order_last_event_asof": q_order_last_event_asof,
     "order_followups_window": q_order_followups_window,
     "user_sessions": q_user_sessions,
@@ -960,6 +1008,13 @@ QUERIES = {
 
 ORACLE_SQL = {
     "count_lineitem": "SELECT COUNT(*) AS n FROM lineitem",
+    "quantiles_by_lang": (
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n, "
+        "quantile_disc(n_chars, 0.5) AS p50, "
+        "quantile_disc(n_chars, 0.9) AS p90, "
+        "quantile_disc(n_chars, 0.99) AS p99 "
+        "FROM documents GROUP BY lang"
+    ),
     "order_last_event_asof": (
         "SELECT e.event_id, e.user_id, "
         "CAST(o.o_orderdate AS TIMESTAMP) AS last_order_ts "

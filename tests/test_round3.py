@@ -5,6 +5,8 @@ their oracle pins here; plus regression tests for round-3 fixes."""
 import os
 import shutil
 
+import numpy as np
+
 import pyarrow as pa
 import pytest
 
@@ -656,3 +658,36 @@ def test_decon_gram_hash_string_parity():
         assert len(set(h[off[i] : off[i + 1]].tolist())) == len(grams)
     # cross-doc: 'a b c d' occurs in docs 0 and 5 → identical hash
     assert h[off[0]] == h[off[5]]
+
+
+def test_quantiles_histogram_parallelism_invariant(ray_session):
+    """The value-count-histogram quantile is exact at ANY block count: the
+    partial/final combine must give identical p50/p90/p99 whether the input
+    is 1 block or many."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from clinical_trials_etl_ray.pipelines.analytics import q_quantiles_by_lang
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    t = pa.table(
+        {
+            "lang": pa.array(rng.choice(["en", "fr"], size=n)),
+            "n_chars": pa.array(rng.integers(1, 400, size=n), pa.int64()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "documents.parquet"), row_group_size=250)
+        out = (
+            q_quantiles_by_lang(d).to_pandas().sort_values("lang").reset_index(drop=True)
+        )
+    # brute-force oracle: DuckDB ceil-rank rule
+    df = t.to_pandas()
+    for _, row in out.iterrows():
+        vals = np.sort(df[df["lang"] == row["lang"]]["n_chars"].to_numpy())
+        assert row["n"] == len(vals)
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            assert row[col] == vals[max(int(np.ceil(q * len(vals))), 1) - 1]
