@@ -960,9 +960,47 @@ def q_quantiles_by_lang(sf_dir: str):
     return hist.groupby("lang").map_groups(quantiles, batch_format="pandas")
 
 
+def q_stratified_sample(sf_dir: str, k: int = 10):
+    """Deterministic stratified sampling: k docs per lang, ranked by
+    (md5(text), doc_id) — a content-hash order, so the sample is stable
+    across runs/parallelism and unbiased w.r.t. ingestion order (the
+    standard reproducible-subsample trick in training-data pipelines).
+
+    Scale shape: per-batch PARTIAL top-k per group before the exchange
+    (each batch ships ≤ k rows per lang present in it), then one small
+    groupby final top-k. Never sorts the corpus."""
+    import os as _os
+
+    import ray.data
+
+    from ..stages.text import md5_exact
+
+    ds = ray.data.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "text"]
+    ).map_batches(md5_exact, batch_format="pyarrow")
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        df = t.select(["lang", "doc_id", "text_md5"]).to_pandas()
+        df = df.sort_values(["lang", "text_md5", "doc_id"], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby("lang", as_index=False).head(k), preserve_index=False
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["text_md5", "doc_id"], kind="mergesort").head(k)
+        return g[["lang", "doc_id"]]
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
 QUERIES = {
     "count_lineitem": q_count_lineitem,
     "quantiles_by_lang": q_quantiles_by_lang,
+    "stratified_sample": q_stratified_sample,
     "order_last_event_asof": q_order_last_event_asof,
     "order_followups_window": q_order_followups_window,
     "user_sessions": q_user_sessions,
@@ -1014,6 +1052,12 @@ ORACLE_SQL = {
         "quantile_disc(n_chars, 0.9) AS p90, "
         "quantile_disc(n_chars, 0.99) AS p99 "
         "FROM documents GROUP BY lang"
+    ),
+    "stratified_sample": (
+        "SELECT lang, doc_id FROM ("
+        "SELECT lang, doc_id, row_number() OVER ("
+        "PARTITION BY lang ORDER BY md5(coalesce(text, '')), doc_id) AS rn "
+        "FROM documents) WHERE rn <= 10"
     ),
     "order_last_event_asof": (
         "SELECT e.event_id, e.user_id, "
