@@ -110,6 +110,8 @@ def bench_queries() -> dict:
         "simhash_pairs": textops.QUERIES["simhash_pairs"],
         "ann_topk": textops.QUERIES["ann_topk"],
         "token_counts": textops.QUERIES["token_counts"],
+        "decontaminate_docs": textops.QUERIES["decontaminate_docs"],
+        "quantiles_by_lang": analytics.QUERIES["quantiles_by_lang"],
     }
     times = {}
     for name, fn in picks.items():

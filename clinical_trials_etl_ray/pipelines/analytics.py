@@ -915,11 +915,12 @@ def q_order_followups_window(sf_dir: str):
 
 def q_quantiles_by_lang(sf_dir: str):
     """Distributed grouped quantiles (p50/p90/p99 of n_chars per lang) via a
-    mergeable value-count histogram: per-batch value_counts partials, ONE
-    small groupby exchange carrying (group × distinct value) rows — NOT the
-    raw rows — then exact quantile reconstruction per group from cumulative
-    counts. Exact for integer domains at any parallelism; at 100 TB the
-    exchange is bounded by group-cardinality × value-cardinality, and a
+    mergeable value-count histogram: per-batch value_counts partials (the
+    exchange carries (group × distinct value per batch) rows — NOT the raw
+    rows), then ONE groupby shuffle whose per-group finalize collapses
+    duplicate values and reconstructs the quantile from cumulative counts.
+    Exact for integer domains at any parallelism; at 100 TB the exchange is
+    bounded by group-cardinality × value-cardinality × blocks, and a
     continuous domain drops in as fixed-width bins (approximate) with the
     same plumbing. Quantile rule pinned to DuckDB ``quantile_disc``:
     element at rank ceil(q·n). Reference's aggregate forms analog:
@@ -927,7 +928,6 @@ def q_quantiles_by_lang(sf_dir: str):
     import os as _os
 
     import ray.data
-    from ray.data.aggregate import Sum
 
     ds = ray.data.read_parquet(
         _os.path.join(sf_dir, "documents.parquet"), columns=["lang", "n_chars"]
@@ -938,14 +938,19 @@ def q_quantiles_by_lang(sf_dir: str):
             df.value_counts(["lang", "n_chars"]).reset_index(name="cnt")
         )
 
-    hist = ds.map_batches(precombine, batch_format="pandas").groupby(
-        ["lang", "n_chars"]
-    ).aggregate(Sum("cnt", alias_name="cnt"))
+    partials = ds.map_batches(precombine, batch_format="pandas")
 
-    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("n_chars")
-        c = g["cnt"].to_numpy().cumsum()
-        vals = g["n_chars"].to_numpy()
+    def quantiles_group(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:  # typed empty keeps block schemas uniform
+            return pd.DataFrame(
+                {"lang": pd.Series([], dtype=object),
+                 **{c: pd.Series([], dtype="int64")
+                    for c in ("n", "p50", "p90", "p99")}}
+            )
+        lang = g["lang"].iloc[0]
+        h = g.groupby("n_chars", as_index=False)["cnt"].sum().sort_values("n_chars")
+        c = h["cnt"].to_numpy().cumsum()
+        vals = h["n_chars"].to_numpy()
         n = int(c[-1])
 
         def qd(q: float) -> int:
@@ -953,11 +958,11 @@ def q_quantiles_by_lang(sf_dir: str):
             return int(vals[np.searchsorted(c, rank)])
 
         return pd.DataFrame(
-            {"lang": [g["lang"].iloc[0]], "n": [n],
+            {"lang": [lang], "n": [n],
              "p50": [qd(0.5)], "p90": [qd(0.9)], "p99": [qd(0.99)]}
         )
 
-    return hist.groupby("lang").map_groups(quantiles, batch_format="pandas")
+    return partials.groupby("lang").map_groups(quantiles_group, batch_format="pandas")
 
 
 def q_stratified_sample(sf_dir: str, k: int = 10):
