@@ -391,6 +391,58 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_mv_conv_stats(sf_dir: str):
+    """Incremental materialized-view maintenance (stages/matview.py): replay
+    HALF the derived binlog → full MV build → replay the rest (manifest
+    resume applies only the new chunks) → INCREMENTAL refresh (only buckets
+    whose manifest gained higher-LSN files recompute) → read the view.
+    The result must equal a from-scratch grouped aggregate over the final
+    table — which is exactly what the SQL oracle computes. Registered beyond
+    the driver's 50-query window; the oracle comparison runs in pytest
+    (test_matview) instead."""
+    from ..pipelines.replay import replay
+    from ..stages.matview import (
+        MV_SCHEMA,
+        build_matview,
+        read_matview,
+        refresh_matview,
+    )
+
+    work = tempfile.mkdtemp(prefix="cdc_mv_", dir="/tmp")
+    binlog_dir = os.path.join(work, "binlog")
+    lake_dir = os.path.join(work, "lake")
+    mv_dir = os.path.join(work, "mv")
+    derived_binlog_ds(sf_dir).write_parquet(binlog_dir)
+    shards = sorted(
+        os.path.join(binlog_dir, f)
+        for f in os.listdir(binlog_dir)
+        if f.endswith(".parquet")
+    )
+    half = max(1, len(shards) // 2)
+    replay(shards[:half], lake_dir, num_buckets=16, files_per_chunk=4)
+    build_matview(lake_dir, mv_dir)
+    replay(shards, lake_dir, num_buckets=16, files_per_chunk=4)
+    refresh_matview(lake_dir, mv_dir)
+    mv = read_matview(mv_dir)
+    table = pa.concat_tables(
+        list(mv.iter_batches(batch_format="pyarrow"))
+        or [MV_SCHEMA.empty_table()]
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return table
+
+
+SQL_MV_CONV_STATS = f"""
+WITH final AS ({SQL_FINAL})
+SELECT conv_id,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(count(tool) AS BIGINT) AS n_tool,
+  CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS text_chars,
+  max(ts) AS last_ts
+FROM final GROUP BY conv_id
+"""
+
+
 def q_validate_events(sf_dir: str):
     """Per-row validation verdicts over the derived binlog — (lsn, valid,
     n_issues), SQL-checkable; the full issue lists + quarantine split are
@@ -445,6 +497,7 @@ QUERIES = {
     "cdc_final_conv_filter": q_cdc_final_conv_filter,
     "cdc_final_ts_filter": q_cdc_final_ts_filter,
     "cdc_change_feed": q_cdc_change_feed,
+    "mv_conv_stats": q_mv_conv_stats,
     "validate_events": q_validate_events,
 }
 
@@ -456,5 +509,6 @@ ORACLE_SQL = {
     "cdc_final_conv_filter": SQL_FINAL_CONV_FILTER,
     "cdc_final_ts_filter": SQL_FINAL_TS_FILTER,
     "cdc_change_feed": SQL_CHANGE_FEED,
+    "mv_conv_stats": SQL_MV_CONV_STATS,
     "validate_events": SQL_VALIDATE_EVENTS,
 }
