@@ -108,6 +108,22 @@ def main(argv=None) -> int:
     chp.add_argument("--format", choices=["parquet", "csv", "json"],
                      default="parquet")
 
+    mp = sub.add_parser(
+        "matview",
+        help="build / incrementally refresh / export the per-conversation "
+             "aggregate view (only buckets with new committed data "
+             "recompute; skips are decided from manifest metadata alone)",
+    )
+    mp.add_argument("action", choices=["build", "refresh", "read"])
+    mp.add_argument("lake_dir")
+    mp.add_argument("mv_dir")
+    mp.add_argument("--out-dir", default=None,
+                    help="(read) export destination")
+    mp.add_argument("--format", choices=["parquet", "csv", "json"],
+                    default="parquet")
+    mp.add_argument("--version", type=int, default=None,
+                    help="(read) time travel: an older view snapshot")
+
     op = sub.add_parser("oracle")
     op.add_argument("binlog_dir")
     op.add_argument("out_path")
@@ -235,6 +251,26 @@ def main(argv=None) -> int:
                 args.format
             ](ds, args.out_dir)
             print(json.dumps({"out": args.out_dir}))
+        elif args.cmd == "matview":
+            from .stages.matview import (
+                build_matview,
+                read_matview,
+                refresh_matview,
+            )
+
+            if args.action in ("build", "refresh"):
+                fn = build_matview if args.action == "build" else refresh_matview
+                r = fn(args.lake_dir, args.mv_dir)
+                print(json.dumps(r.__dict__))
+            else:
+                if not args.out_dir:
+                    p.error("matview read requires --out-dir")
+                from .sources.writers import write_csv, write_json, write_parquet
+
+                ds = read_matview(args.mv_dir, version=args.version)
+                {"parquet": write_parquet, "csv": write_csv,
+                 "json": write_json}[args.format](ds, args.out_dir)
+                print(json.dumps({"out": args.out_dir}))
         elif args.cmd == "verify":
             import tempfile
 

@@ -121,19 +121,33 @@ def merge_partials(partials: pa.Table) -> pa.Table:
     ).cast(MV_SCHEMA)
 
 
+def _files_fingerprint(files: list) -> str:
+    """Order-insensitive digest of a bucket's committed file list. Content
+    hashes name the immutable files, so equal fingerprints ⇒ byte-identical
+    inputs ⇒ identical resolved state."""
+    import hashlib
+
+    ids = sorted(f.get("content_hash") or f["path"] for f in files)
+    return hashlib.sha1("\n".join(ids).encode()).hexdigest()
+
+
 def refresh_matview(
     lake_dir: str, mv_dir: str, full: bool = False
 ) -> MatviewRefreshReport:
     """Bring the view up to the lake's committed state.
 
-    Incremental by manifest metadata: bucket ``b`` is recomputed only when
-    some lake file in ``b`` has ``max_lsn`` above the view's recorded
-    watermark for ``b`` (every row a writer stages carries an LSN above the
-    bucket watermark it was filtered against, so "no such file" proves the
-    bucket's resolved state is unchanged). Recomputation is one Ray task per
-    touched bucket — resolve LWW winners, drop tombstones, Arrow groupby —
-    with NO shuffle; the driver then publishes one atomic ``Manifest``
-    commit swapping exactly the touched buckets' view files
+    Incremental by manifest metadata: a bucket's resolved state is a pure
+    function of its committed file list (LWW is deterministic), so bucket
+    ``b`` is recomputed only when the fingerprint of its lake file list
+    differs from the one recorded at the view's last refresh — exact for
+    ordered AND out-of-order binlogs (an LSN-watermark test would re-refresh
+    everything forever under a conservative ``disorder_bound`` tail
+    watermark, since committed files legitimately carry LSNs above it).
+    Compaction changes the file list without changing state and so triggers
+    a harmless one-time re-refresh of the folded buckets. Recomputation is
+    one Ray task per touched bucket — resolve LWW winners, drop tombstones,
+    Arrow groupby — with NO shuffle; the driver then publishes one atomic
+    ``Manifest`` commit swapping exactly the touched buckets' view files
     (crash-safe/exactly-once like the lake: losers of a concurrent race get
     ``ConcurrentWriterError``, retries rewrite identical content hashes).
 
@@ -151,11 +165,13 @@ def refresh_matview(
         as_of_watermark=mv_man.global_watermark(),
     )
 
+    prior_fps = mv_man.metrics.get("bucket_fps", {})
     todo = []
+    fps = {}
     for b in range(lake_man.num_buckets):
-        s = mv_man.watermark(b)
         files = lake_man.files_for_bucket(b)
-        if full or any(f.get("max_lsn", s + 1) > s for f in files):
+        fps[str(b)] = _files_fingerprint(files)
+        if full or fps[str(b)] != prior_fps.get(str(b)):
             todo.append((b, files))
     if not todo:
         return report
@@ -197,6 +213,9 @@ def refresh_matview(
             "lake_version": lake_man.version,
             "buckets_refreshed": len(todo),
             "rows_written": rows,
+            # full per-bucket fingerprint map (refreshed + carried-forward)
+            # — the next refresh's skip oracle
+            "bucket_fps": fps,
         },
     )
     report.buckets_refreshed = len(todo)

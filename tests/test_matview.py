@@ -88,6 +88,18 @@ def test_noop_and_targeted_refresh(ray_session, binlog_dir, tmp_path):
     assert r2.buckets_refreshed == 0
     assert r2.mv_version == r1.mv_version  # no commit published
 
+    # same must hold under a conservative out-of-order tail watermark
+    # (max_lsn − disorder_bound): committed files carry LSNs above the
+    # watermark forever, so a watermark-based skip would re-refresh every
+    # bucket on every poll — the fingerprint skip must not
+    lake_d = str(tmp_path / "lake_disordered")
+    replay(binlog_dir, lake_d, num_buckets=16, files_per_chunk=2,
+           disorder_bound=500)
+    mv_d = str(tmp_path / "mv_disordered")
+    build_matview(lake_d, mv_d)
+    rd = refresh_matview(lake_d, mv_d)
+    assert rd.buckets_refreshed == 0
+
     # a trickle touching ONE conv_id refreshes only that key's bucket(s)
     import pyarrow.parquet as pq
 
