@@ -112,6 +112,7 @@ def bench_queries() -> dict:
         "token_counts": textops.QUERIES["token_counts"],
         "decontaminate_docs": textops.QUERIES["decontaminate_docs"],
         "quantiles_by_lang": analytics.QUERIES["quantiles_by_lang"],
+        "mv_conv_stats": cdc_queries.QUERIES["mv_conv_stats"],
     }
     times = {}
     for name, fn in picks.items():
