@@ -72,11 +72,17 @@ def conv_partials(live: pa.Table) -> pa.Table:
     t = pa.table(
         {
             "conv_id": live["conv_id"],
-            "tool": live["tool"] if "tool" in live.column_names
+            "tool": live["tool"].cast(pa.string())
+            if "tool" in live.column_names
             else pa.nulls(live.num_rows, pa.string()),
+            # cast first: an all-null column may arrive null-typed (e.g.
+            # evolution gaps), and coalesce(null, string) has no kernel
             "text_chars": pc.cast(
                 pc.utf8_length(
-                    pc.coalesce(live["text"], pa.scalar("", pa.string()))
+                    pc.coalesce(
+                        live["text"].cast(pa.string()),
+                        pa.scalar("", pa.string()),
+                    )
                 ),
                 pa.int64(),
             ),

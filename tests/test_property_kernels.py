@@ -148,3 +148,57 @@ def test_candidate_pairs_matches_naive(rows, df_cap):
             for j in range(i + 1, len(ids)):
                 want.add((int(ids[i]), int(ids[j])))
     assert got_set == want
+
+
+# --------------------------------------------------------------------------
+# Materialized-view partials: any split + merge == direct aggregate
+# --------------------------------------------------------------------------
+
+_mv_row = st.tuples(
+    st.integers(0, 5),                         # conv
+    st.one_of(st.none(), st.text(alphabet="xy", max_size=2)),  # tool
+    st.one_of(st.none(), st.text(alphabet="ab ", max_size=6)), # text
+    st.integers(0, 10**7),                     # ts (us)
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_mv_row, max_size=60), st.data())
+def test_mv_partials_merge_invariant(rows, data):
+    """merge_partials over ANY split of the live rows equals the direct
+    per-conv aggregate — the property that makes salted-lake views (and any
+    per-bucket split) exact. Covers null tool/text and empty splits."""
+    from clinical_trials_etl_ray.stages.matview import (
+        MV_SCHEMA,
+        conv_partials,
+        merge_partials,
+    )
+
+    t = pa.Table.from_pydict(
+        {
+            "conv_id": [f"c{r[0]}" for r in rows],
+            "turn_idx": pa.array(list(range(len(rows))), pa.int32()),
+            "role": ["user"] * len(rows),
+            "text": [r[2] for r in rows],
+            "tool": [r[1] for r in rows],
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+        }
+    )
+    direct = conv_partials(t).sort_by([("conv_id", "ascending")])
+
+    n_splits = data.draw(st.integers(1, 4))
+    cuts = sorted(
+        data.draw(
+            st.lists(st.integers(0, len(rows)), min_size=n_splits - 1,
+                     max_size=n_splits - 1)
+        )
+    )
+    bounds = [0, *cuts, len(rows)]
+    parts = [
+        conv_partials(t.slice(lo, hi - lo))
+        for lo, hi in zip(bounds, bounds[1:])
+    ]
+    merged = merge_partials(
+        pa.concat_tables([p for p in parts] or [MV_SCHEMA.empty_table()])
+    ).sort_by([("conv_id", "ascending")])
+    assert merged.equals(direct)
