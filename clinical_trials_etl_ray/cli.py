@@ -65,6 +65,9 @@ def main(argv=None) -> int:
                     help="tail the binlog dir until no new shards arrive")
     rp.add_argument("--poll-interval", type=float, default=2.0)
     rp.add_argument("--idle-rounds", type=int, default=3)
+    rp.add_argument("--matview-dir", default=None,
+                    help="(--follow) incrementally refresh this materialized "
+                         "view after every round that ingested data")
 
     cp = sub.add_parser("compact")
     cp.add_argument("lake_dir")
@@ -191,7 +194,8 @@ def main(argv=None) -> int:
             if args.follow:
                 r = follow(args.binlog_dir, args.lake_dir,
                            poll_interval_s=args.poll_interval,
-                           idle_rounds=args.idle_rounds, **kw)
+                           idle_rounds=args.idle_rounds,
+                           matview_dir=args.matview_dir, **kw)
             else:
                 r = replay(args.binlog_dir, args.lake_dir, **kw)
             print(json.dumps(r.__dict__))

@@ -399,6 +399,7 @@ def follow(
     poll_interval_s: float = 2.0,
     idle_rounds: int = 3,
     max_rounds: int | None = None,
+    matview_dir: str | None = None,
     **replay_kwargs,
 ) -> ReplayReport:
     """Tail a growing binlog directory: repeatedly replay (committed chunks
@@ -409,6 +410,11 @@ def follow(
     Producers must publish shards ATOMICALLY (write to a temp name, then
     rename into the directory) — a half-written parquet file that gets
     listed would fail the metadata read.
+
+    ``matview_dir``: keep a materialized view (stages/matview.py)
+    continuously fresh — after every round that ingested data, the view is
+    incrementally refreshed (only buckets the round's commits touched
+    recompute). The streaming downstream-consumer loop in one call.
     """
     import time as _time
     import warnings
@@ -456,6 +462,10 @@ def follow(
             total.stale_skipped += r.stale_skipped
             total.delta_rows_written += r.delta_rows_written
             total.final_version = r.final_version
+            if matview_dir is not None and r.chunks_applied:
+                from ..stages.matview import refresh_matview
+
+                refresh_matview(lake_dir, matview_dir)
         rounds += 1
         if idle < idle_rounds and (max_rounds is None or rounds < max_rounds):
             _time.sleep(poll_interval_s)

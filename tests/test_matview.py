@@ -131,6 +131,54 @@ def test_noop_and_targeted_refresh(ray_session, binlog_dir, tmp_path):
     assert row and row[0]["n_turns"] >= 2
 
 
+def test_follow_keeps_matview_fresh(ray_session, binlog_dir, tmp_path):
+    """follow(matview_dir=...) = the streaming loop: every ingest round ends
+    with an incrementally refreshed view; a later trickle refreshes only its
+    touched buckets."""
+    import pyarrow.parquet as pq
+
+    from clinical_trials_etl_ray.pipelines.replay import follow
+    from clinical_trials_etl_ray.state.manifest import Manifest
+
+    import shutil
+
+    grow_dir = tmp_path / "growing"
+    grow_dir.mkdir()
+    for f in _shards(binlog_dir):
+        shutil.copy(f, grow_dir)
+    lake = str(tmp_path / "lake")
+    mv = str(tmp_path / "mv")
+    follow(str(grow_dir), lake, poll_interval_s=0.05, idle_rounds=1,
+           matview_dir=mv, num_buckets=16, files_per_chunk=2,
+           disorder_bound=0)
+    mv_full = str(tmp_path / "mv_full")
+    build_matview(lake, mv_full)
+    assert _mv_sorted(mv).equals(_mv_sorted(mv_full))
+
+    top_lsn = 20_000_000
+    trickle = pa.table(
+        {
+            "lsn": pa.array([top_lsn], pa.int64()),
+            "op": ["insert"],
+            "conv_id": ["conv_00002"],
+            "turn_idx": pa.array([99], pa.int32()),
+            "role": ["user"],
+            "text": ["late arrival"],
+            "tool": [None],
+            "ts": pa.array([top_lsn], pa.timestamp("us")),
+        }
+    ).cast(EVENT_SCHEMA)
+    pq.write_table(trickle, grow_dir / "zz_trickle.parquet")
+    follow(str(grow_dir), lake, poll_interval_s=0.05, idle_rounds=1,
+           matview_dir=mv, num_buckets=16, files_per_chunk=2,
+           disorder_bound=0)
+    m = Manifest.load(mv)
+    assert m.metrics.get("buckets_refreshed", 99) <= 2
+    mv_full2 = str(tmp_path / "mv_full2")
+    build_matview(lake, mv_full2)
+    assert _mv_sorted(mv).equals(_mv_sorted(mv_full2))
+
+
 def test_salted_lake_partials_merge(ray_session, binlog_dir, tmp_path):
     plain_lake = str(tmp_path / "plain")
     salted_lake = str(tmp_path / "salted")
