@@ -127,6 +127,14 @@ def main(argv=None) -> int:
     mp.add_argument("--version", type=int, default=None,
                     help="(read) time travel: an older view snapshot")
 
+    stp = sub.add_parser(
+        "stats",
+        help="print the committed lake (or view) state from manifest "
+             "metadata alone — no data files opened",
+    )
+    stp.add_argument("lake_dir")
+    stp.add_argument("--version", type=int, default=None)
+
     op = sub.add_parser("oracle")
     op.add_argument("binlog_dir")
     op.add_argument("out_path")
@@ -153,6 +161,17 @@ def main(argv=None) -> int:
 
         if ray.is_initialized():
             ray.shutdown()
+        return 0
+
+    if args.cmd == "stats":
+        from .state.manifest import Manifest
+
+        m = (
+            Manifest.load(args.lake_dir)
+            if args.version is None
+            else Manifest.load_version(args.lake_dir, args.version)
+        )
+        print(json.dumps(m.summary()))
         return 0
 
     if args.cmd == "oracle":

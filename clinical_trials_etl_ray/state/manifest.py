@@ -368,6 +368,42 @@ class Manifest:
                     pass
         return removed
 
+    def summary(self) -> dict:
+        """Operational snapshot of the committed lake state — versions on
+        disk, per-kind file/row tallies, watermark span, schema version —
+        assembled from manifest metadata only (no data file is opened).
+        Reference analog: get_statistics
+        (trials_extractor/storage/mongodb_storage.py:324-379), which issues
+        live aggregation queries; here lineage is already on the driver."""
+        files = [f for info in self.buckets.values() for f in info["files"]]
+        by_kind: dict = {}
+        for f in files:
+            k = by_kind.setdefault(
+                f.get("kind", "?"), {"files": 0, "rows": 0}
+            )
+            k["files"] += 1
+            k["rows"] += int(f.get("row_count") or 0)
+        wms = [self.watermark(b) for b in range(self.num_buckets)]
+        return {
+            "version": self.version,
+            "versions_retained": self._retained_versions(),
+            "num_buckets": self.num_buckets,
+            "salt_factor": self.salt_factor,
+            "schema_version": self.schema_version,
+            "schema_names": self.schema_names,
+            "buckets_nonempty": sum(
+                1 for info in self.buckets.values() if info["files"]
+            ),
+            "files_by_kind": by_kind,
+            "total_files": len(files),
+            "total_rows": sum(
+                int(f.get("row_count") or 0) for f in files
+            ),
+            "watermark_min": min(wms, default=-1),
+            "watermark_max": max(wms, default=-1),
+            "last_commit_metrics": self.metrics,
+        }
+
     def expire_versions(self, keep_last: int = 2) -> list:
         """Delete manifest snapshots older than the newest ``keep_last``,
         then collect data files no surviving snapshot references. This is

@@ -159,3 +159,32 @@ def test_concurrent_commit_raises_not_overwrites(tmp_path):
 
     # idempotent identical re-publish does not raise
     a2._publish()
+
+
+def test_manifest_summary(tmp_path):
+    lake = str(tmp_path / "lake")
+    m = Manifest.create(lake, num_buckets=4)
+    m = m.commit(
+        [
+            {"bucket": 0, "path": "data/bucket=00000/delta-a.parquet",
+             "kind": "delta", "content_hash": "a", "row_count": 7,
+             "min_lsn": 0, "max_lsn": 9},
+            {"bucket": 2, "path": "data/bucket=00002/base-b.parquet",
+             "kind": "base", "content_hash": "b", "row_count": 5,
+             "min_lsn": 0, "max_lsn": 9},
+        ],
+        new_watermark_lsn=9,
+        schema_names=["lsn", "op"],
+        metrics={"events_read": 12},
+    )
+    s = m.summary()
+    assert s["version"] == 1
+    assert s["versions_retained"] == [0, 1]
+    assert s["buckets_nonempty"] == 2
+    assert s["files_by_kind"] == {
+        "delta": {"files": 1, "rows": 7},
+        "base": {"files": 1, "rows": 5},
+    }
+    assert s["total_rows"] == 12
+    assert s["watermark_min"] == s["watermark_max"] == 9
+    assert s["last_commit_metrics"]["events_read"] == 12
