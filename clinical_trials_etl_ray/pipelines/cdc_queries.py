@@ -443,6 +443,48 @@ FROM final GROUP BY conv_id
 """
 
 
+def q_render_conversations(sf_dir: str):
+    """Conversation assembly — the IMPLODE counterpart of the explode/
+    flatten operators (reference assembles one document from extracted
+    sections, trials_extractor/main.py:214-243; exporters shred it back,
+    csv_exporter.py:49-250): replay the derived binlog, then group the
+    final table's turn rows into one row per conversation with a
+    deterministic rendered transcript (turns ordered by turn_idx — unique
+    per conv since it is the upsert key). One groupby over the final table;
+    on an unsalted lake the same render runs shuffle-free inside the
+    per-bucket read tasks (conversations are bucket-local). Registered
+    beyond the driver's 50-query window; oracle runs in pytest."""
+    import ray.data
+
+    table = run_cdc_replay(sf_dir)
+    ds = ray.data.from_arrow(table)
+
+    def render(df):
+        import pandas as pd
+
+        df = df.sort_values("turn_idx", kind="mergesort")
+        lines = df["role"].astype(str) + ": " + df["text"].fillna("")
+        return pd.DataFrame(
+            {
+                "conv_id": [df["conv_id"].iloc[0]],
+                "n_turns": pd.array([len(df)], dtype="int64"),
+                "transcript": ["\n".join(lines)],
+            }
+        )
+
+    return ds.groupby("conv_id").map_groups(render, batch_format="pandas")
+
+
+SQL_RENDER_CONVERSATIONS = f"""
+WITH final AS ({SQL_FINAL})
+SELECT conv_id,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  string_agg(role || ': ' || coalesce(text, ''), chr(10)
+             ORDER BY turn_idx) AS transcript
+FROM final GROUP BY conv_id
+"""
+
+
 def q_validate_events(sf_dir: str):
     """Per-row validation verdicts over the derived binlog — (lsn, valid,
     n_issues), SQL-checkable; the full issue lists + quarantine split are
@@ -498,6 +540,7 @@ QUERIES = {
     "cdc_final_ts_filter": q_cdc_final_ts_filter,
     "cdc_change_feed": q_cdc_change_feed,
     "mv_conv_stats": q_mv_conv_stats,
+    "render_conversations": q_render_conversations,
     "validate_events": q_validate_events,
 }
 
@@ -510,5 +553,6 @@ ORACLE_SQL = {
     "cdc_final_ts_filter": SQL_FINAL_TS_FILTER,
     "cdc_change_feed": SQL_CHANGE_FEED,
     "mv_conv_stats": SQL_MV_CONV_STATS,
+    "render_conversations": SQL_RENDER_CONVERSATIONS,
     "validate_events": SQL_VALIDATE_EVENTS,
 }
