@@ -179,6 +179,27 @@ def test_follow_keeps_matview_fresh(ray_session, binlog_dir, tmp_path):
     assert _mv_sorted(mv).equals(_mv_sorted(mv_full2))
 
 
+def test_refresh_after_compaction_is_equal_and_reconverges(
+    ray_session, binlog_dir, tmp_path
+):
+    """Compaction rewrites file lists without changing state: the next
+    refresh re-renders the folded buckets (documented one-time cost) to the
+    SAME view, and the refresh after that is a no-op again."""
+    from clinical_trials_etl_ray.pipelines.replay import compact
+
+    lake = str(tmp_path / "lake")
+    replay(binlog_dir, lake, num_buckets=16, files_per_chunk=2)
+    mv = str(tmp_path / "mv")
+    build_matview(lake, mv)
+    before = _mv_sorted(mv)
+
+    compact(lake)
+    r = refresh_matview(lake, mv)
+    assert r.buckets_refreshed > 0  # file lists changed
+    assert _mv_sorted(mv).equals(before)  # state did not
+    assert refresh_matview(lake, mv).buckets_refreshed == 0  # reconverged
+
+
 def test_salted_lake_partials_merge(ray_session, binlog_dir, tmp_path):
     plain_lake = str(tmp_path / "plain")
     salted_lake = str(tmp_path / "salted")
