@@ -72,10 +72,13 @@ def content_hash(table: pa.Table) -> str:
     """
     import pyarrow.compute as pc
 
-    idx = pc.sort_indices(
-        table,
-        sort_keys=[(c, "ascending") for c in ("conv_id", "turn_idx", "ts", "lsn") if c in table.column_names],
-    )
+    keys = [
+        (c, "ascending")
+        for c in ("conv_id", "turn_idx", "ts", "lsn")
+        if c in table.column_names
+    ] or [(c, "ascending") for c in table.column_names]  # e.g. keyed view
+    # aggregates carry none of the canonical columns; any total order works
+    idx = pc.sort_indices(table, sort_keys=keys)
     table = table.take(idx).combine_chunks()
     sink = pa.BufferOutputStream()
     with pa.ipc.new_stream(sink, table.schema) as w:

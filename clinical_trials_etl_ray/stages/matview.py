@@ -1,21 +1,21 @@
 """Incremental materialized-view maintenance over the CDC lake.
 
-A materialized view here is a per-conversation aggregate table
-(``conv_id → n_turns, n_tool, text_chars, last_ts``) kept continuously
-consistent with the lake by *incremental refresh*: only buckets whose
-manifest gained files with ``max_lsn`` above the view's recorded watermark
-are recomputed — O(touched partitions), never O(lake) — and the result is
-published through the same exactly-once ``Manifest`` commit protocol as the
-lake itself (optimistic-concurrency version files, content-hash-named
-immutable parquet, time travel via retained versions).
+A materialized view is a grouped aggregate (``ViewSpec``: any group key +
+mergeable aggs; default: per-conversation ``conv_id → n_turns, n_tool,
+text_chars, last_ts``) kept continuously consistent with the lake by
+*incremental refresh*: only buckets whose committed file lists changed are
+recomputed — O(change rate), never O(lake) — and the result is published
+through the same exactly-once ``Manifest`` commit protocol as the lake
+itself (optimistic-concurrency version files, content-hash-named immutable
+parquet, time travel via retained versions; the spec is persisted in the
+view manifest).
 
-Why this is bucket-local (shuffle-free): the view's group key is
-``conv_id``, the lake's hash-partitioning key, so every group's rows live in
-one bucket when ``salt_factor == 1``. Salted lakes spread a conversation's
-turns over ``salt_factor`` buckets, so each bucket stores *mergeable
-partials* (sum/sum/sum/max are all associative) and ``read_matview``
-finishes with one small groupby over ~``n_convs × salt_factor`` partial
-rows — exchange volume is the view, not the lake.
+Why this is bucket-local (shuffle-free): every agg kind's merge is
+associative, so each bucket stores *mergeable partials* under any group
+key. When the key IS the lake's partition key (``conv_id``, unsalted) the
+partials are already exact and reads are zero-shuffle; otherwise
+``read_matview`` finishes with one small groupby over view-sized partial
+rows (≤ groups × buckets) — exchange volume is the view, not the lake.
 
 Scale shape at 100 TB: refresh cost is driven by the CHANGE RATE, not the
 table size. A poll loop (``pipelines.replay.follow`` + ``refresh_matview``)
@@ -62,69 +62,154 @@ class MatviewRefreshReport:
     as_of_watermark: int = -1
 
 
-def conv_partials(live: pa.Table) -> pa.Table:
-    """Per-bucket partial aggregate of live transcript rows, grouped by
-    conv_id (vectorized Arrow groupby — no Python row loop). Partials are
-    exact totals when the lake is unsalted; mergeable via
-    ``merge_partials`` otherwise."""
+# --------------------------------------------------------------------------
+# View specs: arbitrary group key + mergeable aggregates
+# --------------------------------------------------------------------------
+
+# agg kinds → (arrow groupby function for the partial, merge function).
+# Every kind's merge is associative, which is what makes per-bucket partials
+# exact under any split (salting, non-key group columns, re-merges).
+_AGG_KINDS = {
+    "count": ("count_all", "sum"),       # row count
+    "nn_count": ("count", "sum"),        # non-null count of col
+    "sum": ("sum", "sum"),
+    "min": ("min", "min"),
+    "max": ("max", "max"),
+    "sum_utf8_len": ("sum", "sum"),      # sum of utf8_length(coalesce(col,''))
+}
+
+
+@dataclass(frozen=True)
+class ViewAgg:
+    name: str                 # output column
+    kind: str                 # key of _AGG_KINDS
+    col: str | None = None    # source column (None only for "count")
+
+    def __post_init__(self):
+        if self.kind not in _AGG_KINDS:
+            raise ValueError(f"unknown agg kind {self.kind!r}")
+        if self.kind != "count" and not self.col:
+            raise ValueError(f"agg {self.name!r}: kind {self.kind!r} needs a col")
+
+
+@dataclass(frozen=True)
+class ViewSpec:
+    """What a materialized view computes: ``key → aggs``. The key need NOT
+    be the lake's partition key — per-bucket partials are mergeable for any
+    group column (a ``role``-keyed view stores ≤ num_buckets partial rows
+    per role and merges at read), the classic partial/final combine."""
+
+    key: str = "conv_id"
+    aggs: tuple = (
+        ViewAgg("n_turns", "count"),
+        ViewAgg("n_tool", "nn_count", "tool"),
+        ViewAgg("text_chars", "sum_utf8_len", "text"),
+        ViewAgg("last_ts", "max", "ts"),
+    )
+
+    def to_json(self) -> dict:
+        return {
+            "key": self.key,
+            "aggs": [[a.name, a.kind, a.col] for a in self.aggs],
+        }
+
+    @classmethod
+    def from_json(cls, doc: dict) -> "ViewSpec":
+        return cls(
+            key=doc["key"],
+            aggs=tuple(ViewAgg(n, k, c) for n, k, c in doc["aggs"]),
+        )
+
+
+DEFAULT_SPEC = ViewSpec()
+
+
+# null-typed (all-null) columns — e.g. hand-built tables or evolution gaps
+# before schema unification — need a concrete type per agg kind: string for
+# text/count kernels, int64 for arithmetic. Production buckets always carry
+# committed-schema types (resolve_bucket unifies), so this only guards edges.
+_NULL_FALLBACK = {
+    "nn_count": pa.string(),
+    "sum_utf8_len": pa.string(),
+    "sum": pa.int64(),
+    "min": pa.int64(),
+    "max": pa.int64(),
+}
+
+
+def _typed(col: pa.ChunkedArray, kind: str) -> pa.ChunkedArray:
+    return (
+        col.cast(_NULL_FALLBACK[kind]) if pa.types.is_null(col.type) else col
+    )
+
+
+def view_partials(live: pa.Table, spec: ViewSpec = DEFAULT_SPEC) -> pa.Table:
+    """Per-bucket partial aggregate of live rows under ``spec`` (vectorized
+    Arrow groupby — no Python row loop). Exact totals when every group lives
+    in one bucket (key == partition key, unsalted); mergeable via
+    ``view_merge`` otherwise. Returns None for empty input (caller skips —
+    the authoritative empty schema lives in the view manifest)."""
     if live.num_rows == 0:
-        return MV_SCHEMA.empty_table()
-    t = pa.table(
-        {
-            "conv_id": live["conv_id"],
-            "tool": live["tool"].cast(pa.string())
-            if "tool" in live.column_names
-            else pa.nulls(live.num_rows, pa.string()),
-            # cast first: an all-null column may arrive null-typed (e.g.
-            # evolution gaps), and coalesce(null, string) has no kernel
-            "text_chars": pc.cast(
+        return None
+    cols = {spec.key: live[spec.key]}
+    aggregations = []
+    for a in spec.aggs:
+        if a.kind == "count":
+            aggregations.append(([], "count_all"))
+            continue
+        src = _typed(live[a.col], a.kind)
+        if a.kind == "sum_utf8_len":
+            src = pc.cast(
                 pc.utf8_length(
-                    pc.coalesce(
-                        live["text"].cast(pa.string()),
-                        pa.scalar("", pa.string()),
-                    )
+                    pc.coalesce(src.cast(pa.string()), pa.scalar("", pa.string()))
                 ),
                 pa.int64(),
-            ),
-            "ts": live["ts"],
-        }
-    )
-    g = t.group_by("conv_id").aggregate(
-        [
-            ("conv_id", "count"),
-            ("tool", "count"),
-            ("text_chars", "sum"),
-            ("ts", "max"),
-        ]
-    )
-    return pa.table(
-        {
-            "conv_id": g["conv_id"],
-            "n_turns": g["conv_id_count"],
-            "n_tool": g["tool_count"],
-            "text_chars": g["text_chars_sum"],
-            "last_ts": g["ts_max"],
-        }
-    ).cast(MV_SCHEMA)
+            )
+        cols[f"__{a.name}"] = src
+        aggregations.append((f"__{a.name}", _AGG_KINDS[a.kind][0]))
+    g = pa.table(cols).group_by(spec.key).aggregate(aggregations)
+    out = {spec.key: g[spec.key]}
+    for a in spec.aggs:
+        fn = _AGG_KINDS[a.kind][0]
+        src_name = "count_all" if a.kind == "count" else f"__{a.name}_{fn}"
+        col = g[src_name]
+        if a.kind in ("count", "nn_count"):
+            col = col.cast(pa.int64())
+        out[a.name] = col
+    return pa.table(out)
+
+
+def view_merge(partials: pa.Table, spec: ViewSpec = DEFAULT_SPEC) -> pa.Table:
+    """Combine partials that share a key (salted lakes / non-key group
+    columns): counts and sums add, mins/maxes fold — the standard
+    partial/final combine."""
+    if partials.num_rows == 0:
+        return partials
+    aggregations = [
+        (a.name, _AGG_KINDS[a.kind][1]) for a in spec.aggs
+    ]
+    g = partials.group_by(spec.key).aggregate(aggregations)
+    out = {spec.key: g[spec.key]}
+    for a in spec.aggs:
+        col = g[f"{a.name}_{_AGG_KINDS[a.kind][1]}"]
+        if a.kind in ("count", "nn_count"):
+            col = col.cast(pa.int64())
+        out[a.name] = col
+    return pa.table(out)
+
+
+def conv_partials(live: pa.Table) -> pa.Table:
+    """Default conv-stats view partials (kept for the stable MV_SCHEMA
+    surface; generic path: ``view_partials``)."""
+    out = view_partials(live, DEFAULT_SPEC)
+    return MV_SCHEMA.empty_table() if out is None else out.cast(MV_SCHEMA)
 
 
 def merge_partials(partials: pa.Table) -> pa.Table:
-    """Combine per-bucket partials that share a conv_id (salted lakes):
-    counts/sums add, last_ts maxes — the standard partial/final combine."""
+    """Default conv-stats view merge (see ``view_merge``)."""
     if partials.num_rows == 0:
         return MV_SCHEMA.empty_table()
-    g = partials.group_by("conv_id").aggregate(
-        [("n_turns", "sum"), ("n_tool", "sum"), ("text_chars", "sum"), ("last_ts", "max")]
-    )
-    return pa.table(
-        {
-            "conv_id": g["conv_id"],
-            "n_turns": g["n_turns_sum"],
-            "n_tool": g["n_tool_sum"],
-            "text_chars": g["text_chars_sum"],
-            "last_ts": g["last_ts_max"],
-        }
-    ).cast(MV_SCHEMA)
+    return view_merge(partials, DEFAULT_SPEC).cast(MV_SCHEMA)
 
 
 def _files_fingerprint(files: list) -> str:
@@ -138,7 +223,10 @@ def _files_fingerprint(files: list) -> str:
 
 
 def refresh_matview(
-    lake_dir: str, mv_dir: str, full: bool = False
+    lake_dir: str,
+    mv_dir: str,
+    full: bool = False,
+    spec: ViewSpec | None = None,
 ) -> MatviewRefreshReport:
     """Bring the view up to the lake's committed state.
 
@@ -158,13 +246,27 @@ def refresh_matview(
     ``ConcurrentWriterError``, retries rewrite identical content hashes).
 
     ``full=True`` forces a complete rebuild (used to seed a new view — and
-    as the equivalence oracle for the incremental path in tests)."""
+    as the equivalence oracle for the incremental path in tests).
+
+    ``spec`` selects WHAT the view computes (group key + mergeable aggs);
+    it is fixed at view creation — persisted in the view manifest so later
+    refreshes (and reads) agree without restating it, and a conflicting
+    explicit spec fails loudly rather than silently recomputing a different
+    view into the same directory."""
     import ray
 
     lake_man = Manifest.load(lake_dir)
     mv_man = Manifest.load_or_create(
         mv_dir, lake_man.num_buckets, salt_factor=lake_man.salt_factor
     )
+    stored = mv_man.metrics.get("view_spec")
+    if spec is None:
+        spec = ViewSpec.from_json(stored) if stored else DEFAULT_SPEC
+    elif stored is not None and spec.to_json() != stored:
+        raise ValueError(
+            f"view at {mv_dir!r} was built with spec {stored}, refusing to "
+            f"refresh with a different spec {spec.to_json()}"
+        )
     report = MatviewRefreshReport(
         buckets_total=lake_man.num_buckets,
         mv_version=mv_man.version,
@@ -185,12 +287,13 @@ def refresh_matview(
     @ray.remote
     def _recompute(bucket: int, files: list):
         from ..functions.hashing import content_hash
+        from ..schema import schema_to_b64
 
-        agg = conv_partials(
-            live_rows(resolve_bucket(lake_dir, bucket, files))
+        agg = view_partials(
+            live_rows(resolve_bucket(lake_dir, bucket, files)), spec
         )
-        if agg.num_rows == 0:
-            return bucket, None
+        if agg is None or agg.num_rows == 0:
+            return bucket, None, None
         h = content_hash(agg)
         path = _write_immutable(agg, bucket_dir(mv_dir, bucket), f"agg-{h}.parquet")
         import os
@@ -202,18 +305,26 @@ def refresh_matview(
             "row_count": agg.num_rows,
             "min_lsn": -1,
             "max_lsn": -1,
-        }
+        }, schema_to_b64(agg.schema)
 
     replace = {}
     rows = 0
-    for bucket, info in ray.get([_recompute.remote(b, fs) for b, fs in todo]):
+    schema_b64 = mv_man.schema_ipc
+    for bucket, info, sch in ray.get(
+        [_recompute.remote(b, fs) for b, fs in todo]
+    ):
         replace[bucket] = [info] if info else []
         rows += info["row_count"] if info else 0
+        schema_b64 = schema_b64 or sch
 
     mv_man = mv_man.commit(
         [],
         new_watermark_lsn=lake_man.global_watermark(),
         replace_buckets=replace,
+        schema_names=(
+            [spec.key, *(a.name for a in spec.aggs)] if schema_b64 else None
+        ),
+        schema_ipc=schema_b64,
         metrics={
             "matview_refresh": True,
             "lake_version": lake_man.version,
@@ -222,6 +333,8 @@ def refresh_matview(
             # full per-bucket fingerprint map (refreshed + carried-forward)
             # — the next refresh's skip oracle
             "bucket_fps": fps,
+            # the view definition, fixed at creation
+            "view_spec": spec.to_json(),
         },
     )
     report.buckets_refreshed = len(todo)
@@ -231,15 +344,18 @@ def refresh_matview(
     return report
 
 
-def build_matview(lake_dir: str, mv_dir: str) -> MatviewRefreshReport:
+def build_matview(
+    lake_dir: str, mv_dir: str, spec: ViewSpec | None = None
+) -> MatviewRefreshReport:
     """Seed a view directory with a full build (= forced refresh)."""
-    return refresh_matview(lake_dir, mv_dir, full=True)
+    return refresh_matview(lake_dir, mv_dir, full=True, spec=spec)
 
 
 def read_matview(mv_dir: str, version: int | None = None):
-    """Ray Dataset of the view. Unsalted lakes read the stored partials
-    verbatim (already exact, zero shuffle); salted lakes finish with one
-    groupby over the view-sized partials (``merge_partials`` per group)."""
+    """Ray Dataset of the view (the manifest records which spec it holds).
+    Partials are exact as stored when every group is bucket-local (key ==
+    the lake partition key ``conv_id``, unsalted) — zero shuffle; otherwise
+    one groupby over the view-sized partials finishes the combine."""
     import os
 
     import ray.data
@@ -247,12 +363,22 @@ def read_matview(mv_dir: str, version: int | None = None):
     man = Manifest.load(mv_dir) if version is None else Manifest.load_version(
         mv_dir, version
     )
+    stored = man.metrics.get("view_spec")
+    spec = ViewSpec.from_json(stored) if stored else DEFAULT_SPEC
     paths = sorted(os.path.join(mv_dir, p) for p in man.all_files())
     if not paths:
+        if man.schema_ipc:
+            from ..schema import schema_from_b64
+
+            return ray.data.from_arrow(
+                schema_from_b64(man.schema_ipc).empty_table()
+            )
         return ray.data.from_arrow(MV_SCHEMA.empty_table())
     # partitioning=None: the bucket=NNNNN layout is lake plumbing, not a
     # hive partition column of the view
     ds = ray.data.read_parquet(paths, partitioning=None)
-    if man.salt_factor == 1:
+    if man.salt_factor == 1 and spec.key == "conv_id":
         return ds
-    return ds.groupby("conv_id").map_groups(merge_partials, batch_format="pyarrow")
+    return ds.groupby(spec.key).map_groups(
+        lambda t: view_merge(t, spec), batch_format="pyarrow"
+    )

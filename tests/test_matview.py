@@ -179,6 +179,61 @@ def test_follow_keeps_matview_fresh(ray_session, binlog_dir, tmp_path):
     assert _mv_sorted(mv).equals(_mv_sorted(mv_full2))
 
 
+def test_role_keyed_view_spec(ray_session, binlog_dir, tmp_path):
+    """Generalized spec: a view keyed by a NON-partition column (role) —
+    per-bucket partials merged at read — equals the single-process oracle's
+    grouped aggregate; a conflicting spec on the same view dir fails."""
+    import pandas as pd
+    import pytest as pt
+
+    from clinical_trials_etl_ray.oracle import oracle_final_table
+    from clinical_trials_etl_ray.stages.matview import ViewAgg, ViewSpec
+    from clinical_trials_etl_ray.synth import generate_events
+
+    spec = ViewSpec(
+        key="role",
+        aggs=(
+            ViewAgg("n_turns", "count"),
+            ViewAgg("chars", "sum_utf8_len", "text"),
+            ViewAgg("first_ts", "min", "ts"),
+            ViewAgg("n_tool", "nn_count", "tool"),
+        ),
+    )
+    lake = str(tmp_path / "lake")
+    replay(binlog_dir, lake, num_buckets=16, files_per_chunk=2)
+    mv = str(tmp_path / "mv")
+    build_matview(lake, mv, spec=spec)
+
+    got = (
+        read_matview(mv)
+        .to_pandas()
+        .sort_values("role")
+        .reset_index(drop=True)
+    )
+    final = oracle_final_table(generate_events(SPEC)).to_pandas()
+    want = (
+        final.groupby("role", as_index=False)
+        .agg(
+            n_turns=("role", "size"),
+            chars=("text", lambda s: int(s.fillna("").str.len().sum())),
+            first_ts=("ts", "min"),
+            n_tool=("tool", "count"),
+        )
+        .sort_values("role")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["role", "n_turns", "chars", "first_ts", "n_tool"]],
+        want,
+        check_dtype=False,
+    )
+
+    # stored spec governs spec-less refresh; a conflicting spec fails loudly
+    assert refresh_matview(lake, mv).buckets_refreshed == 0
+    with pt.raises(ValueError, match="different spec"):
+        refresh_matview(lake, mv, spec=ViewSpec(key="conv_id"))
+
+
 def test_refresh_after_compaction_is_equal_and_reconverges(
     ray_session, binlog_dir, tmp_path
 ):
