@@ -126,6 +126,13 @@ def main(argv=None) -> int:
                     default="parquet")
     mp.add_argument("--version", type=int, default=None,
                     help="(read) time travel: an older view snapshot")
+    mp.add_argument("--key", default=None,
+                    help="(build) view group key (default conv_id)")
+    mp.add_argument("--agg", action="append", default=None,
+                    metavar="NAME:KIND[:COL]",
+                    help="(build) aggregate spec, repeatable — kinds: "
+                         "count, nn_count, sum, min, max, sum_utf8_len "
+                         "(e.g. --agg n_turns:count --agg chars:sum_utf8_len:text)")
 
     stp = sub.add_parser(
         "stats",
@@ -282,8 +289,21 @@ def main(argv=None) -> int:
             )
 
             if args.action in ("build", "refresh"):
+                spec = None
+                if args.key or args.agg:
+                    from .stages.matview import DEFAULT_SPEC, ViewAgg, ViewSpec
+
+                    aggs = (
+                        tuple(
+                            ViewAgg(*(a.split(":", 2) + [None])[:3])
+                            for a in args.agg
+                        )
+                        if args.agg
+                        else DEFAULT_SPEC.aggs
+                    )
+                    spec = ViewSpec(key=args.key or "conv_id", aggs=aggs)
                 fn = build_matview if args.action == "build" else refresh_matview
-                r = fn(args.lake_dir, args.mv_dir)
+                r = fn(args.lake_dir, args.mv_dir, spec=spec)
                 print(json.dumps(r.__dict__))
             else:
                 if not args.out_dir:

@@ -267,6 +267,20 @@ def refresh_matview(
             f"view at {mv_dir!r} was built with spec {stored}, refusing to "
             f"refresh with a different spec {spec.to_json()}"
         )
+    # Validate the spec against the lake's committed schema up front so a
+    # typo'd column fails with a clear message, not a KeyError from inside
+    # a Ray task (the committed schema is authoritative for every bucket).
+    if lake_man.schema_names:
+        # live_rows projects away the CDC bookkeeping columns before the
+        # aggregate sees the rows, so they are not valid spec inputs.
+        known = set(lake_man.schema_names) - {"lsn", "op"}
+        wanted = {spec.key} | {a.col for a in spec.aggs if a.col}
+        missing = sorted(wanted - known)
+        if missing:
+            raise ValueError(
+                f"view spec references column(s) {missing} not in the lake "
+                f"schema {sorted(known)}"
+            )
     report = MatviewRefreshReport(
         buckets_total=lake_man.num_buckets,
         mv_version=mv_man.version,

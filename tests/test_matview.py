@@ -233,6 +233,15 @@ def test_role_keyed_view_spec(ray_session, binlog_dir, tmp_path):
     with pt.raises(ValueError, match="different spec"):
         refresh_matview(lake, mv, spec=ViewSpec(key="conv_id"))
 
+    # a spec naming a column the live rows don't carry fails up front with
+    # the offending name (lsn/op are projected away before aggregation)
+    with pt.raises(ValueError, match=r"\['lsn'\]"):
+        build_matview(
+            lake,
+            str(tmp_path / "mv_bad"),
+            spec=ViewSpec(key="role", aggs=(ViewAgg("x", "max", "lsn"),)),
+        )
+
 
 def test_refresh_after_compaction_is_equal_and_reconverges(
     ray_session, binlog_dir, tmp_path
