@@ -69,6 +69,7 @@ _TAIL = [
     "decontaminate_docs",   # oracle-bearing; pytest-enforced (window is full)
     "quantiles_by_lang",    # oracle-bearing; pytest-enforced (window is full)
     "stratified_sample",    # oracle-bearing; pytest-enforced (window is full)
+    "dedup_incremental",    # oracle-bearing; pytest-enforced (window is full)
     "pack_documents",       # rows-only (greedy stateful packing)
     "punct_stats",
     "docs_containing_the",

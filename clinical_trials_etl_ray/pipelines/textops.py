@@ -392,6 +392,52 @@ def q_near_dup_clusters(sf_dir: str):
     )
 
 
+def _docs_id_cut(sf_dir: str) -> int:
+    """(max(doc_id)+1)//2 from parquet row-group stats — a bounded metadata
+    read (no data I/O); the oracle computes the identical cut in SQL."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata
+    idx = next(
+        i for i in range(md.num_columns) if md.schema.column(i).name == "doc_id"
+    )
+    mx = max(
+        md.row_group(g).column(idx).statistics.max
+        for g in range(md.num_row_groups)
+    )
+    return (int(mx) + 1) // 2
+
+
+def q_dedup_incremental(sf_dir: str):
+    """Cross-run incremental dedup against a PERSISTED fingerprint index
+    (stages/seen_index.py): the first half of the corpus (doc_id < cut)
+    plays "everything previously ingested" — its md5 fingerprints are folded
+    into a bucket-partitioned index published via the exactly-once Manifest
+    protocol — and the second half plays "today's increment", filtered by
+    routing ONLY the increment to the index's fingerprint buckets (the
+    historical corpus is never re-read or re-shuffled; ~16 bytes/doc of
+    state is what crosses runs). Survivors = increment docs whose content
+    was never seen before."""
+    import tempfile
+
+    from ..stages.seen_index import filter_unseen, update_seen_index
+
+    cut = _docs_id_cut(sf_dir)
+    index_dir = tempfile.mkdtemp(prefix="seen_idx_")
+
+    import pyarrow.compute as pc
+
+    history = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], cut)), batch_format="pyarrow"
+    )
+    update_seen_index(index_dir, history, num_buckets=16)
+    increment = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], cut)),
+        batch_format="pyarrow",
+    )
+    return filter_unseen(increment, index_dir).select_columns(["doc_id"])
+
+
 # ---------------------------------------------------------------------------
 # embedding similarity
 # ---------------------------------------------------------------------------
@@ -616,6 +662,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "dedup_survivors_minhash": q_dedup_survivors_minhash,
     "near_dup_clusters": q_near_dup_clusters,
+    "dedup_incremental": q_dedup_incremental,
     "pack_documents": q_pack_documents,
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
@@ -752,6 +799,16 @@ ORACLE_SQL = {
     ),
     "fingerprint_md5": (
         "SELECT doc_id, md5(coalesce(text, '')) AS text_md5 FROM documents"
+    ),
+    # cross-run incremental dedup: first half of the corpus = the persisted
+    # index, second half = the increment; survivors carry unseen content
+    "dedup_incremental": (
+        "WITH cut AS (SELECT (max(doc_id)+1)//2 AS c FROM documents), "
+        "seen AS (SELECT DISTINCT md5(coalesce(text,'')) AS fp "
+        "FROM documents, cut WHERE doc_id < c) "
+        "SELECT d.doc_id FROM documents d, cut "
+        "WHERE d.doc_id >= c AND md5(coalesce(d.text,'')) NOT IN "
+        "(SELECT fp FROM seen)"
     ),
     "near_dup_jaccard": _JACCARD_SQL,
     "dedup_survivors_minhash": _SURVIVORS_SQL,

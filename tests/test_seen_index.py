@@ -1,0 +1,129 @@
+"""Cross-run incremental dedup (stages/seen_index.py): persisted
+fingerprint index semantics — append-only novelty, increment-split
+invariance, cross-run filtering, exactly-once manifest versioning."""
+
+import pandas as pd
+import pytest
+
+from util_compare import assert_matches_oracle
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_ds(rows):
+    import ray.data
+
+    return ray.data.from_pandas(pd.DataFrame(rows))
+
+
+def test_dedup_incremental_matches_oracle(ray_session):
+    """The registered query (oracle-bearing tail entry — the driver's
+    50-slot window is full) stays pinned to its DuckDB NOT-IN oracle."""
+    import __ray_entry__ as entrymod
+
+    q = entrymod.queries()["dedup_incremental"]
+    sql = entrymod.oracle_sql()["dedup_incremental"]
+    assert_matches_oracle(q(SF), sql, SF)
+
+
+def test_update_adds_only_novel_and_split_invariant(ray_session, tmp_path):
+    """Folding the same corpus in twice adds nothing the second time, and
+    building the index in two increments equals building it in one shot
+    (bucket routing is deterministic ⇒ the index is mergeable)."""
+    from clinical_trials_etl_ray.state.manifest import Manifest
+    from clinical_trials_etl_ray.stages.seen_index import update_seen_index
+
+    rows_a = [{"doc_id": i, "text": f"doc number {i}"} for i in range(40)]
+    rows_b = [
+        {"doc_id": 100 + i, "text": f"doc number {i}"} for i in range(20)
+    ] + [{"doc_id": 200 + i, "text": f"fresh {i}"} for i in range(15)]
+
+    idx = str(tmp_path / "idx")
+    r1 = update_seen_index(idx, _docs_ds(rows_a), num_buckets=8)
+    assert r1.fps_added == 40 and r1.version == 1
+
+    # re-ingesting the identical corpus is a no-op (no files, no commit)
+    r2 = update_seen_index(idx, _docs_ds(rows_a), num_buckets=8)
+    assert r2.fps_added == 0 and Manifest.load(idx).version == 1
+
+    # second increment adds only its 15 genuinely novel fingerprints
+    r3 = update_seen_index(idx, _docs_ds(rows_b), num_buckets=8)
+    assert r3.fps_added == 15
+
+    # split-invariance: one-shot index over a+b has identical fp sets
+    idx2 = str(tmp_path / "idx2")
+    update_seen_index(idx2, _docs_ds(rows_a + rows_b), num_buckets=8)
+
+    import os
+
+    import pyarrow.parquet as pq
+
+    def all_fps(d):
+        m = Manifest.load(d)
+        fps = set()
+        for b in range(m.num_buckets):
+            for f in m.files_for_bucket(b):
+                fps |= set(
+                    pq.read_table(os.path.join(d, f["path"]))["fp"].to_pylist()
+                )
+        return fps
+
+    assert all_fps(idx) == all_fps(idx2)
+
+
+def test_filter_unseen_is_cross_run_only(ray_session, tmp_path):
+    """filter_unseen drops exactly the rows whose content is in the index;
+    duplicates WITHIN the increment all survive (pure cross-run filter),
+    and unindexed buckets pass everything through."""
+    from clinical_trials_etl_ray.stages.seen_index import (
+        filter_unseen,
+        update_seen_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    update_seen_index(
+        idx,
+        _docs_ds([{"doc_id": i, "text": f"seen {i}"} for i in range(10)]),
+        num_buckets=4,
+    )
+
+    increment = [
+        {"doc_id": 50, "text": "seen 3"},      # dropped: in the index
+        {"doc_id": 51, "text": "novel x"},
+        {"doc_id": 52, "text": "novel x"},     # within-increment dup SURVIVES
+        {"doc_id": 53, "text": "seen 7"},      # dropped
+        {"doc_id": 54, "text": None},          # NULL hashes as '' — novel here
+    ]
+    got = (
+        filter_unseen(_docs_ds(increment), idx)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(got["doc_id"]) == [51, 52, 54]
+    assert list(got.columns) == ["doc_id", "text"]
+
+
+def test_concurrent_index_writers_fail_loudly(ray_session, tmp_path):
+    """Two updates racing to the same index version: the loser gets
+    ConcurrentWriterError (same optimistic-concurrency protocol as the
+    lake), never a silent lineage overwrite."""
+    from clinical_trials_etl_ray.state.manifest import (
+        ConcurrentWriterError,
+        Manifest,
+    )
+    from clinical_trials_etl_ray.stages.seen_index import update_seen_index
+
+    idx = str(tmp_path / "idx")
+    update_seen_index(
+        idx,
+        _docs_ds([{"doc_id": 0, "text": "base"}]),
+        num_buckets=4,
+    )
+    stale = Manifest.load(idx)
+    # a second writer commits first...
+    update_seen_index(
+        idx, _docs_ds([{"doc_id": 1, "text": "w2"}]), num_buckets=4
+    )
+    # ...so the stale handle's commit to the now-taken version must fail
+    with pytest.raises(ConcurrentWriterError):
+        stale.commit([], new_watermark_lsn=stale.global_watermark())
