@@ -70,6 +70,10 @@ _TAIL = [
     "quantiles_by_lang",    # oracle-bearing; pytest-enforced (window is full)
     "stratified_sample",    # oracle-bearing; pytest-enforced (window is full)
     "dedup_incremental",    # oracle-bearing; pytest-enforced (window is full)
+    "repetition_scores",    # oracle-bearing; pytest-enforced (window is full)
+    "seeded_shuffle",       # oracle-bearing; pytest-enforced (window is full)
+    "weighted_sample_source",  # oracle-bearing; pytest-enforced (window full)
+    "redact_pii",           # oracle-bearing; pytest-enforced (window is full)
     "pack_documents",       # rows-only (greedy stateful packing)
     "punct_stats",
     "docs_containing_the",

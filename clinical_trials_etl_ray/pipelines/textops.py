@@ -392,6 +392,155 @@ def q_near_dup_clusters(sf_dir: str):
     )
 
 
+def q_repetition_scores(sf_dir: str):
+    """Gopher-style repetition signal: per-doc total vs distinct whitespace
+    words (the duplicate-word fraction ``1 - n_distinct/n_words`` is the
+    quality-filter input; returned as exact integer counts so the driver's
+    stringified-value compare is float-free). Vectorized: ONE regex split
+    per batch, then a single C-level hash groupby over (row, word) pairs
+    for the distinct count — exact on strings (no hash-collision risk),
+    no per-row Python loop, zero exchange (pure map_batches)."""
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        st = pc.replace_substring_regex(
+            text, pattern=r"^\s+|\s+$", replacement=""
+        )
+        lists = pa.chunked_array(
+            [pc.split_pattern_regex(st, pattern=r"\s+")]
+        ).combine_chunks()
+        raw_counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(st, "").to_numpy(zero_copy_only=False)
+        n_words = np.where(nonempty, raw_counts, 0).astype(np.int64)
+        parents = np.repeat(np.arange(len(t)), raw_counts)
+        words = lists.flatten().to_pandas().to_numpy(dtype=object)
+        keep = nonempty[parents]  # drop the [''] token of empty docs
+        nun = (
+            pd.DataFrame({"p": parents[keep], "w": words[keep]})
+            .groupby("p", sort=False)["w"]
+            .nunique()
+        )
+        n_distinct = np.zeros(len(t), dtype=np.int64)
+        n_distinct[nun.index.to_numpy()] = nun.to_numpy()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(n_words),
+                "n_distinct": pa.array(n_distinct),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def q_seeded_shuffle(sf_dir: str):
+    """Deterministic seeded global shuffle for training-data ordering.
+
+    The 100-TB shuffle shape: NO global sort. Each doc's md5(seed:doc_id)
+    key assigns a shard (first hex digit → 16 shards, ONE hash-groupby
+    exchange) and an order within the shard (rank by key). (shard, pos)
+    together is a reproducible pseudo-random permutation of the corpus —
+    re-runs, resumes, and different parallelism all emit the identical
+    order, which epoch-reshuffles get by bumping the seed. Per-shard work
+    is a local sort of corpus/16."""
+    import hashlib
+
+    seed = "42"
+    hexd = {c: i for i, c in enumerate("0123456789abcdef")}
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        keys = [
+            hashlib.md5(f"{seed}:{d}".encode()).hexdigest()
+            for d in df["doc_id"]
+        ]
+        out = df[["doc_id"]].copy()
+        out["key"] = keys
+        out["shard"] = (
+            pd.Series(keys, index=out.index).str[0].map(hexd).astype(np.int64)
+        )
+        return out
+
+    def order_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["key", "doc_id"], kind="mergesort")
+        g["pos"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["doc_id", "shard", "pos"]]
+
+    ds = _docs(sf_dir, columns=("doc_id",)).map_batches(
+        stamp, batch_format="pandas"
+    )
+    return ds.groupby("shard").map_groups(order_group, batch_format="pandas")
+
+
+def q_weighted_sample_source(sf_dir: str):
+    """Deterministic source-weighted sampling (mixture weighting): keep a
+    doc iff its content md5 is lexicographically below its source's hex
+    threshold prefix — per-source rates of 1/8, 1/4, 1/2, 3/4 by source
+    index mod 4. Content-hash thresholding gives exact, reproducible,
+    ingestion-order-independent sampling with ZERO exchange (a pure
+    per-batch filter — the mixture knob for weighting corpora into a
+    training run)."""
+    import hashlib
+
+    th = "248c"  # hex first-digit cutoffs: 2/16, 4/16, 8/16, 12/16
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        fps = np.array(
+            [
+                hashlib.md5(
+                    (t if isinstance(t, str) else "").encode()
+                ).hexdigest()
+                for t in df["text"]
+            ],
+            dtype=object,
+        )
+        idx = (df["source"].str[3:].astype(int) % 4).to_numpy()
+        cuts = np.array(list(th), dtype=object)[idx]
+        return df.loc[fps < cuts, ["doc_id", "source"]]
+
+    return _docs(sf_dir, columns=("doc_id", "text", "source")).map_batches(
+        f, batch_format="pandas"
+    )
+
+
+# PII redaction patterns (RE2-portable: same engine in Arrow and DuckDB),
+# applied in this exact order on both sides — emails first (they contain
+# dot-digit runs), then IPs (protect them from the phone pattern), then
+# phones. The oracle SQL below is GENERATED from this tuple so the two
+# sides cannot drift.
+_PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"(?:\+?\d{1,2}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}", "<PHONE>"),
+)
+
+
+def redact_pii_batch(t: pa.Table) -> pa.Table:
+    """Vectorized PII scrub: chained RE2 replace-all kernels per batch."""
+    import pyarrow.compute as pc
+
+    txt = pc.fill_null(t["text"], "")
+    for pat, rep in _PII_PATTERNS:
+        txt = pc.replace_substring_regex(txt, pattern=pat, replacement=rep)
+    return pa.table({"doc_id": t["doc_id"], "clean_text": txt})
+
+
+def q_redact_pii(sf_dir: str):
+    """PII redaction (emails / IPv4s / phone numbers → typed placeholders)
+    — the standard pre-training scrub pass. Zero exchange; planted-PII
+    behavior is pytest-pinned against the same SQL on a synthetic corpus
+    (the testdata corpus itself carries no PII, which the oracle equality
+    also proves)."""
+    return _docs(sf_dir).map_batches(redact_pii_batch, batch_format="pyarrow")
+
+
+def _redact_sql() -> str:
+    expr = "coalesce(text, '')"
+    for pat, rep in _PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return f"SELECT doc_id, {expr} AS clean_text FROM documents"
+
+
 def _docs_id_cut(sf_dir: str) -> int:
     """(max(doc_id)+1)//2 from parquet row-group stats — a bounded metadata
     read (no data I/O); the oracle computes the identical cut in SQL."""
@@ -663,6 +812,10 @@ QUERIES = {
     "dedup_survivors_minhash": q_dedup_survivors_minhash,
     "near_dup_clusters": q_near_dup_clusters,
     "dedup_incremental": q_dedup_incremental,
+    "repetition_scores": q_repetition_scores,
+    "seeded_shuffle": q_seeded_shuffle,
+    "weighted_sample_source": q_weighted_sample_source,
+    "redact_pii": q_redact_pii,
     "pack_documents": q_pack_documents,
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
@@ -800,6 +953,38 @@ ORACLE_SQL = {
     "fingerprint_md5": (
         "SELECT doc_id, md5(coalesce(text, '')) AS text_md5 FROM documents"
     ),
+    # duplicate-word repetition signal: integer counts (float-free compare);
+    # empty / whitespace-only / NULL docs are 0/0 on both sides
+    "repetition_scores": (
+        "WITH stripped AS (SELECT doc_id, regexp_replace(coalesce(text,''), "
+        "'^\\s+|\\s+$', '', 'g') AS st FROM documents), "
+        "words AS (SELECT doc_id, unnest(regexp_split_to_array(st, '\\s+')) "
+        "AS w FROM stripped WHERE st <> ''), "
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+        "CAST(count(DISTINCT w) AS BIGINT) AS n_distinct FROM words "
+        "GROUP BY doc_id) "
+        "SELECT s.doc_id, coalesce(a.n_words, 0) AS n_words, "
+        "coalesce(a.n_distinct, 0) AS n_distinct "
+        "FROM stripped s LEFT JOIN agg a USING (doc_id)"
+    ),
+    # deterministic seeded shuffle: (shard, pos) is a reproducible
+    # permutation — shard by md5 first hex digit, rank within shard by key
+    "seeded_shuffle": (
+        "WITH k AS (SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) "
+        "AS key FROM documents) "
+        "SELECT doc_id, CAST(strpos('0123456789abcdef', substr(key,1,1)) - 1 "
+        "AS BIGINT) AS shard, CAST(row_number() OVER ("
+        "PARTITION BY substr(key,1,1) ORDER BY key, doc_id) AS BIGINT) AS pos "
+        "FROM k"
+    ),
+    # content-hash threshold sampling at per-source rates (source idx mod 4
+    # -> hex cutoff 2/4/8/c); exact and order-independent on both sides
+    "weighted_sample_source": (
+        "SELECT doc_id, source FROM documents "
+        "WHERE md5(coalesce(text,'')) < substr('248c', "
+        "(CAST(substr(source, 4) AS INTEGER) % 4) + 1, 1)"
+    ),
+    "redact_pii": _redact_sql(),
     # cross-run incremental dedup: first half of the corpus = the persisted
     # index, second half = the increment; survivors carry unseen content
     "dedup_incremental": (

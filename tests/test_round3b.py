@@ -1,0 +1,129 @@
+"""Round-3 late training-data ops: repetition scores, seeded shuffle,
+source-weighted sampling, PII redaction — oracle pins (tail entries; the
+driver's 50-slot window is full) plus planted-input semantics."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from util_compare import assert_matches_oracle
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "repetition_scores",
+        "seeded_shuffle",
+        "weighted_sample_source",
+        "redact_pii",
+    ],
+)
+def test_new_tail_queries_match_oracle(ray_session, name):
+    import __ray_entry__ as entrymod
+
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    assert_matches_oracle(q(SF), sql, SF)
+
+
+def _fixture_docs(tmp_path, rows) -> str:
+    """A documents.parquet fixture dir usable as sf_dir by both the Ray
+    query and the DuckDB oracle (util_compare registers present tables)."""
+    d = tmp_path / "fixture_sf"
+    d.mkdir()
+    df = pd.DataFrame(rows)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_redact_pii_planted_matches_oracle_and_semantics(
+    ray_session, tmp_path
+):
+    """The real point of the scrub: planted emails / IPv4s / phones are
+    replaced by typed placeholders, clean text is untouched, and the Ray
+    kernels equal the generated DuckDB regexp_replace chain on the SAME
+    planted corpus (RE2 on both sides)."""
+    import __ray_entry__ as entrymod
+    from clinical_trials_etl_ray.pipelines.textops import q_redact_pii
+
+    rows = [
+        {"doc_id": 0, "text": "reach me at jane.doe+spam@example.co.uk now"},
+        {"doc_id": 1, "text": "server 192.168.001.1 then call 415-555-1234"},
+        {"doc_id": 2, "text": "intl +1 (415) 555 1234 and 10.0.0.255 mixed"},
+        {"doc_id": 3, "text": "no pii here, just words and 42 numbers"},
+        {"doc_id": 4, "text": None},
+        {"doc_id": 5, "text": "a@b.io b@c.net two emails"},
+    ]
+    sf = _fixture_docs(tmp_path, rows)
+    assert_matches_oracle(
+        q_redact_pii(sf), entrymod.oracle_sql()["redact_pii"], sf
+    )
+
+    got = dict(
+        q_redact_pii(sf).to_pandas()[["doc_id", "clean_text"]].itertuples(
+            index=False, name=None
+        )
+    )
+    assert got[0] == "reach me at <EMAIL> now"
+    assert got[1] == "server <IP> then call <PHONE>"
+    assert got[2] == "intl <PHONE> and <IP> mixed"
+    assert got[3] == "no pii here, just words and 42 numbers"
+    assert got[4] == ""  # NULL scrubs to '' (oracle-aligned coalesce)
+    assert got[5] == "<EMAIL> <EMAIL> two emails"
+
+
+def test_repetition_scores_degenerate_docs(ray_session, tmp_path):
+    """Empty, whitespace-only, NULL, and fully-repeated docs: exact counts
+    on both sides (the oracle fixture dir carries the planted corpus)."""
+    import __ray_entry__ as entrymod
+    from clinical_trials_etl_ray.pipelines.textops import q_repetition_scores
+
+    rows = [
+        {"doc_id": 0, "text": "a a a a"},          # 4 words, 1 distinct
+        {"doc_id": 1, "text": "w x y z"},          # 4 words, 4 distinct
+        {"doc_id": 2, "text": ""},                  # 0 / 0
+        {"doc_id": 3, "text": "   \t\n "},          # whitespace-only: 0 / 0
+        {"doc_id": 4, "text": None},                # NULL: 0 / 0
+        {"doc_id": 5, "text": "  pad  pad pad "},   # 3 words, 1 distinct
+    ]
+    sf = _fixture_docs(tmp_path, rows)
+    assert_matches_oracle(
+        q_repetition_scores(sf), entrymod.oracle_sql()["repetition_scores"], sf
+    )
+    got = (
+        q_repetition_scores(sf)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(got["n_words"]) == [4, 4, 0, 0, 0, 3]
+    assert list(got["n_distinct"]) == [1, 4, 0, 0, 0, 1]
+
+
+def test_seeded_shuffle_is_permutation_and_parallelism_invariant(
+    ray_session,
+):
+    """(shard, pos) is a bijection over doc_ids; per-shard positions are
+    contiguous 1..n; and the assignment is identical when computed at a
+    different parallelism (pure function of the seed and doc_id)."""
+    from clinical_trials_etl_ray.pipelines.textops import q_seeded_shuffle
+
+    a = q_seeded_shuffle(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a["doc_id"].is_unique
+    for shard, g in a.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(1, len(g) + 1))
+
+    b = (
+        q_seeded_shuffle(SF)
+        .repartition(13)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
