@@ -74,6 +74,7 @@ _TAIL = [
     "seeded_shuffle",       # oracle-bearing; pytest-enforced (window is full)
     "weighted_sample_source",  # oracle-bearing; pytest-enforced (window full)
     "redact_pii",           # oracle-bearing; pytest-enforced (window is full)
+    "chunk_documents",      # oracle-bearing; pytest-enforced (window is full)
     "pack_documents",       # rows-only (greedy stateful packing)
     "punct_stats",
     "docs_containing_the",

@@ -113,6 +113,7 @@ def bench_queries() -> dict:
         "decontaminate_docs": textops.QUERIES["decontaminate_docs"],
         "quantiles_by_lang": analytics.QUERIES["quantiles_by_lang"],
         "mv_conv_stats": cdc_queries.QUERIES["mv_conv_stats"],
+        "dedup_incremental": textops.QUERIES["dedup_incremental"],
     }
     times = {}
     for name, fn in picks.items():

@@ -503,6 +503,56 @@ def q_weighted_sample_source(sf_dir: str):
     )
 
 
+def q_chunk_documents(sf_dir: str, window: int = 32, stride: int = 24):
+    """Context-window chunking: split each doc's whitespace words into
+    fixed-size overlapping windows (size ``window``, step ``stride``) — the
+    complementary op to sequence packing (pack short docs, CHUNK long ones)
+    and the explode-with-parent-FK shape of the reference's nested
+    flatteners (locations.py:114-130 analog). Zero exchange: each batch
+    splits once, computes all chunk offsets vectorized (np.repeat/arange),
+    and assembles chunk text with one C-level join per OUTPUT row (the
+    same bounded per-row cost as the md5 oracle-parity kernels)."""
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        st = pc.replace_substring_regex(
+            text, pattern=r"^\s+|\s+$", replacement=""
+        )
+        lists = pa.chunked_array(
+            [pc.split_pattern_regex(st, pattern=r"\s+")]
+        ).combine_chunks()
+        raw = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(st, "").to_numpy(zero_copy_only=False)
+        n = np.where(nonempty, raw, 0).astype(np.int64)
+        words = lists.flatten().to_numpy(zero_copy_only=False)
+        word_off = np.zeros(len(t) + 1, dtype=np.int64)
+        np.cumsum(raw, out=word_off[1:])  # offsets into the RAW flat array
+
+        c = np.where(n > 0, (n + stride - 1) // stride, 0)  # chunks per doc
+        doc_idx = np.repeat(np.arange(len(t)), c)
+        total = int(c.sum())
+        chunk_idx = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(c)[:-1])), c
+        )
+        starts = word_off[doc_idx] + chunk_idx * stride
+        ends = np.minimum(starts + window, word_off[doc_idx] + n[doc_idx])
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)[doc_idx]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids),
+                "chunk_idx": pa.array(chunk_idx.astype(np.int64)),
+                "n_tokens": pa.array((ends - starts).astype(np.int64)),
+                "chunk_text": pa.array(
+                    [" ".join(words[s:e]) for s, e in zip(starts, ends)],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 # PII redaction patterns (RE2-portable: same engine in Arrow and DuckDB),
 # applied in this exact order on both sides — emails first (they contain
 # dot-digit runs), then IPs (protect them from the phone pattern), then
@@ -816,6 +866,7 @@ QUERIES = {
     "seeded_shuffle": q_seeded_shuffle,
     "weighted_sample_source": q_weighted_sample_source,
     "redact_pii": q_redact_pii,
+    "chunk_documents": q_chunk_documents,
     "pack_documents": q_pack_documents,
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
@@ -985,6 +1036,20 @@ ORACLE_SQL = {
         "(CAST(substr(source, 4) AS INTEGER) % 4) + 1, 1)"
     ),
     "redact_pii": _redact_sql(),
+    # overlapping word windows (size 32, stride 24): starts at word
+    # positions 1, 25, 49, … — generate_series mirrors "offset < n_words"
+    "chunk_documents": (
+        "WITH stripped AS (SELECT doc_id, regexp_replace(coalesce(text,''), "
+        "'^\\s+|\\s+$', '', 'g') AS st FROM documents), "
+        "words AS (SELECT doc_id, regexp_split_to_array(st, '\\s+') AS w "
+        "FROM stripped WHERE st <> ''), "
+        "starts AS (SELECT doc_id, w, unnest(generate_series(1, len(w), 24)) "
+        "AS s FROM words) "
+        "SELECT doc_id, CAST((s - 1) / 24 AS BIGINT) AS chunk_idx, "
+        "CAST(least(s + 31, len(w)) - s + 1 AS BIGINT) AS n_tokens, "
+        "array_to_string(list_slice(w, s, least(s + 31, len(w))), ' ') "
+        "AS chunk_text FROM starts"
+    ),
     # cross-run incremental dedup: first half of the corpus = the persisted
     # index, second half = the increment; survivors carry unseen content
     "dedup_incremental": (

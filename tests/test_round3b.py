@@ -21,6 +21,7 @@ SF = "/root/testdata/sf0.001"
         "seeded_shuffle",
         "weighted_sample_source",
         "redact_pii",
+        "chunk_documents",
     ],
 )
 def test_new_tail_queries_match_oracle(ray_session, name):
@@ -104,6 +105,51 @@ def test_repetition_scores_degenerate_docs(ray_session, tmp_path):
     )
     assert list(got["n_words"]) == [4, 4, 0, 0, 0, 3]
     assert list(got["n_distinct"]) == [1, 4, 0, 0, 0, 1]
+
+
+def test_chunk_documents_windows_and_coverage(ray_session, tmp_path):
+    """Overlapping-window invariants on a planted corpus: empty/NULL docs
+    emit no chunks, short docs emit exactly one, every chunk has ≤ window
+    tokens, stride-offset prefixes reconstruct the original word sequence,
+    and the Ray kernels equal the DuckDB generate_series/list_slice oracle
+    on the SAME corpus."""
+    import __ray_entry__ as entrymod
+    from clinical_trials_etl_ray.pipelines.textops import q_chunk_documents
+
+    long_doc = " ".join(f"w{i}" for i in range(80))  # 80 words → 4 chunks
+    rows = [
+        {"doc_id": 0, "text": long_doc},
+        {"doc_id": 1, "text": "just five little words here"},
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": None},
+        {"doc_id": 4, "text": " ".join(f"x{i}" for i in range(32))},  # exact
+    ]
+    sf = _fixture_docs(tmp_path, rows)
+    assert_matches_oracle(
+        q_chunk_documents(sf), entrymod.oracle_sql()["chunk_documents"], sf
+    )
+
+    got = q_chunk_documents(sf).to_pandas().sort_values(
+        ["doc_id", "chunk_idx"]
+    )
+    assert set(got["doc_id"]) == {0, 1, 4}  # empty/NULL emit nothing
+    assert (got["n_tokens"] <= 32).all()
+    g0 = got[got["doc_id"] == 0]
+    # ceil(80/24) = 4 chunks at starts 0,24,48,72
+    assert list(g0["chunk_idx"]) == [0, 1, 2, 3]
+    assert list(g0["n_tokens"]) == [32, 32, 32, 8]
+    # stride-prefix reconstruction: first 24 words of each chunk + the last
+    # chunk's tail reproduce the original sequence
+    rebuilt = []
+    chunks = list(g0["chunk_text"])
+    for ctext in chunks[:-1]:
+        rebuilt.extend(ctext.split()[:24])
+    rebuilt.extend(chunks[-1].split())
+    assert rebuilt == long_doc.split()
+    # a doc of exactly `window` words is one full chunk... plus the stride
+    # tail if n > stride (80>24 handled above; 32>24 ⇒ 2 starts: 0 and 24)
+    g4 = got[got["doc_id"] == 4]
+    assert list(g4["n_tokens"]) == [32, 8]
 
 
 def test_seeded_shuffle_is_permutation_and_parallelism_invariant(
