@@ -392,46 +392,62 @@ def q_near_dup_clusters(sf_dir: str):
     )
 
 
+def _split_words(t: pa.Table):
+    """Shared whitespace-split plumbing: (flat word array, raw per-row list
+    lengths, nonempty mask). The [''] artifact of splitting an empty string
+    is reported via ``nonempty`` for the caller to mask."""
+    import pyarrow.compute as pc
+
+    if len(t) == 0:  # empty batch (possible after upstream filters)
+        empty = np.array([], dtype=object)
+        return empty, np.array([], dtype=np.int64), np.array([], dtype=bool)
+    # all-null batches can arrive null-TYPED (e.g. from_pandas of Nones);
+    # cast first so the string kernels have a kernel to dispatch to
+    text = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+    st = pc.replace_substring_regex(text, pattern=r"^\s+|\s+$", replacement="")
+    lists = pa.chunked_array(
+        [pc.split_pattern_regex(st, pattern=r"\s+")]
+    ).combine_chunks()
+    raw = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    nonempty = pc.not_equal(st, "").to_numpy(zero_copy_only=False)
+    words = lists.flatten().to_numpy(zero_copy_only=False)
+    return words, raw, nonempty
+
+
+def repetition_scores_batch(t: pa.Table) -> pa.Table:
+    """Per-doc (n_words, n_distinct) — the Gopher-style repetition kernel;
+    exact on strings (C-level hash groupby, no hash-collision risk)."""
+    words, raw, nonempty = _split_words(t)
+    n_words = np.where(nonempty, raw, 0).astype(np.int64)
+    parents = np.repeat(np.arange(len(t)), raw)
+    keep = nonempty[parents]  # drop the [''] token of empty docs
+    nun = (
+        pd.DataFrame({"p": parents[keep], "w": words[keep]})
+        .groupby("p", sort=False)["w"]
+        .nunique()
+    )
+    n_distinct = np.zeros(len(t), dtype=np.int64)
+    if len(nun):
+        n_distinct[nun.index.to_numpy()] = nun.to_numpy()
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_words": pa.array(n_words),
+            "n_distinct": pa.array(n_distinct),
+        }
+    )
+
+
 def q_repetition_scores(sf_dir: str):
     """Gopher-style repetition signal: per-doc total vs distinct whitespace
     words (the duplicate-word fraction ``1 - n_distinct/n_words`` is the
     quality-filter input; returned as exact integer counts so the driver's
     stringified-value compare is float-free). Vectorized: ONE regex split
     per batch, then a single C-level hash groupby over (row, word) pairs
-    for the distinct count — exact on strings (no hash-collision risk),
-    no per-row Python loop, zero exchange (pure map_batches)."""
-    import pyarrow.compute as pc
-
-    def f(t: pa.Table) -> pa.Table:
-        text = pc.fill_null(t["text"], "")
-        st = pc.replace_substring_regex(
-            text, pattern=r"^\s+|\s+$", replacement=""
-        )
-        lists = pa.chunked_array(
-            [pc.split_pattern_regex(st, pattern=r"\s+")]
-        ).combine_chunks()
-        raw_counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
-        nonempty = pc.not_equal(st, "").to_numpy(zero_copy_only=False)
-        n_words = np.where(nonempty, raw_counts, 0).astype(np.int64)
-        parents = np.repeat(np.arange(len(t)), raw_counts)
-        words = lists.flatten().to_pandas().to_numpy(dtype=object)
-        keep = nonempty[parents]  # drop the [''] token of empty docs
-        nun = (
-            pd.DataFrame({"p": parents[keep], "w": words[keep]})
-            .groupby("p", sort=False)["w"]
-            .nunique()
-        )
-        n_distinct = np.zeros(len(t), dtype=np.int64)
-        n_distinct[nun.index.to_numpy()] = nun.to_numpy()
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "n_words": pa.array(n_words),
-                "n_distinct": pa.array(n_distinct),
-            }
-        )
-
-    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+    for the distinct count — no Python per-row loop, zero exchange."""
+    return _docs(sf_dir).map_batches(
+        repetition_scores_batch, batch_format="pyarrow"
+    )
 
 
 def q_seeded_shuffle(sf_dir: str):
@@ -503,54 +519,59 @@ def q_weighted_sample_source(sf_dir: str):
     )
 
 
+def chunk_documents_batch(
+    t: pa.Table, window: int = 32, stride: int = 24
+) -> pa.Table:
+    """Overlapping word-window explode kernel: all chunk offsets vectorized
+    (np.repeat/arange over the split offsets), one C-level join per OUTPUT
+    row for text assembly."""
+    words, raw, nonempty = _split_words(t)
+    n = np.where(nonempty, raw, 0).astype(np.int64)
+    word_off = np.zeros(len(t) + 1, dtype=np.int64)
+    np.cumsum(raw, out=word_off[1:])  # offsets into the RAW flat array
+
+    c = np.where(n > 0, (n + stride - 1) // stride, 0)  # chunks per doc
+    total = int(c.sum())
+    if total == 0:  # empty batch, or all docs empty → zero chunks
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+            }
+        )
+    doc_idx = np.repeat(np.arange(len(t)), c)
+    chunk_idx = np.arange(total) - np.repeat(
+        np.concatenate(([0], np.cumsum(c)[:-1])), c
+    )
+    starts = word_off[doc_idx] + chunk_idx * stride
+    ends = np.minimum(starts + window, word_off[doc_idx] + n[doc_idx])
+    doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)[doc_idx]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids),
+            "chunk_idx": pa.array(chunk_idx.astype(np.int64)),
+            "n_tokens": pa.array((ends - starts).astype(np.int64)),
+            "chunk_text": pa.array(
+                [" ".join(words[s:e]) for s, e in zip(starts, ends)],
+                pa.string(),
+            ),
+        }
+    )
+
+
 def q_chunk_documents(sf_dir: str, window: int = 32, stride: int = 24):
     """Context-window chunking: split each doc's whitespace words into
     fixed-size overlapping windows (size ``window``, step ``stride``) — the
     complementary op to sequence packing (pack short docs, CHUNK long ones)
     and the explode-with-parent-FK shape of the reference's nested
-    flatteners (locations.py:114-130 analog). Zero exchange: each batch
-    splits once, computes all chunk offsets vectorized (np.repeat/arange),
-    and assembles chunk text with one C-level join per OUTPUT row (the
-    same bounded per-row cost as the md5 oracle-parity kernels)."""
-    import pyarrow.compute as pc
-
-    def f(t: pa.Table) -> pa.Table:
-        text = pc.fill_null(t["text"], "")
-        st = pc.replace_substring_regex(
-            text, pattern=r"^\s+|\s+$", replacement=""
-        )
-        lists = pa.chunked_array(
-            [pc.split_pattern_regex(st, pattern=r"\s+")]
-        ).combine_chunks()
-        raw = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
-        nonempty = pc.not_equal(st, "").to_numpy(zero_copy_only=False)
-        n = np.where(nonempty, raw, 0).astype(np.int64)
-        words = lists.flatten().to_numpy(zero_copy_only=False)
-        word_off = np.zeros(len(t) + 1, dtype=np.int64)
-        np.cumsum(raw, out=word_off[1:])  # offsets into the RAW flat array
-
-        c = np.where(n > 0, (n + stride - 1) // stride, 0)  # chunks per doc
-        doc_idx = np.repeat(np.arange(len(t)), c)
-        total = int(c.sum())
-        chunk_idx = np.arange(total) - np.repeat(
-            np.concatenate(([0], np.cumsum(c)[:-1])), c
-        )
-        starts = word_off[doc_idx] + chunk_idx * stride
-        ends = np.minimum(starts + window, word_off[doc_idx] + n[doc_idx])
-        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)[doc_idx]
-        return pa.table(
-            {
-                "doc_id": pa.array(doc_ids),
-                "chunk_idx": pa.array(chunk_idx.astype(np.int64)),
-                "n_tokens": pa.array((ends - starts).astype(np.int64)),
-                "chunk_text": pa.array(
-                    [" ".join(words[s:e]) for s, e in zip(starts, ends)],
-                    pa.string(),
-                ),
-            }
-        )
-
-    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+    flatteners (locations.py:114-130 analog). Zero exchange; the kernel is
+    property-tested against a naive per-doc reference."""
+    return _docs(sf_dir).map_batches(
+        lambda t: chunk_documents_batch(t, window, stride),
+        batch_format="pyarrow",
+    )
 
 
 # PII redaction patterns (RE2-portable: same engine in Arrow and DuckDB),

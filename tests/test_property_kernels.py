@@ -202,3 +202,64 @@ def test_mv_partials_merge_invariant(rows, data):
         pa.concat_tables([p for p in parts] or [MV_SCHEMA.empty_table()])
     ).sort_by([("conv_id", "ascending")])
     assert merged.equals(direct)
+
+
+# --------------------------------------------------------------------------
+# text kernels: chunking and repetition vs naive per-doc references
+# --------------------------------------------------------------------------
+
+_doc_text = st.one_of(
+    st.none(),
+    st.text(alphabet="ab \t\n", max_size=40),  # whitespace-heavy corpus
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    texts=st.lists(_doc_text, max_size=12),
+    window=st.integers(1, 8),
+    stride=st.integers(1, 8),
+)
+def test_chunk_kernel_matches_naive(texts, window, stride):
+    """The vectorized chunk explode equals the obvious per-doc loop:
+    chunks = [words[o:o+window] for o in range(0, n, stride)], any
+    window/stride combination (including stride > window gaps)."""
+    from clinical_trials_etl_ray.pipelines.textops import chunk_documents_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = chunk_documents_batch(t, window=window, stride=stride).to_pydict()
+    got_rows = list(
+        zip(got["doc_id"], got["chunk_idx"], got["n_tokens"], got["chunk_text"])
+    )
+    want_rows = []
+    for i, text in enumerate(texts):
+        words = (text or "").split()
+        for k, off in enumerate(range(0, len(words), stride)):
+            piece = words[off : off + window]
+            want_rows.append((i, k, len(piece), " ".join(piece)))
+    assert got_rows == want_rows
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts=st.lists(_doc_text, max_size=12))
+def test_repetition_kernel_matches_naive(texts):
+    from clinical_trials_etl_ray.pipelines.textops import (
+        repetition_scores_batch,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = repetition_scores_batch(t).to_pydict()
+    for i, text in enumerate(texts):
+        words = (text or "").split()
+        assert got["n_words"][i] == len(words)
+        assert got["n_distinct"][i] == len(set(words))
