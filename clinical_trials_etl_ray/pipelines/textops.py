@@ -450,20 +450,20 @@ def q_repetition_scores(sf_dir: str):
     )
 
 
-def q_seeded_shuffle(sf_dir: str):
+def q_seeded_shuffle(sf_dir: str, seed: str = "42", n_hex: int = 1):
     """Deterministic seeded global shuffle for training-data ordering.
 
     The 100-TB shuffle shape: NO global sort. Each doc's md5(seed:doc_id)
-    key assigns a shard (first hex digit → 16 shards, ONE hash-groupby
-    exchange) and an order within the shard (rank by key). (shard, pos)
-    together is a reproducible pseudo-random permutation of the corpus —
-    re-runs, resumes, and different parallelism all emit the identical
-    order, which epoch-reshuffles get by bumping the seed. Per-shard work
-    is a local sort of corpus/16."""
+    key assigns a shard (first ``n_hex`` hex digits → 16^n_hex shards, ONE
+    hash-groupby exchange) and an order within the shard (rank by key).
+    (shard, pos) together is a reproducible pseudo-random permutation of
+    the corpus — re-runs, resumes, and different parallelism all emit the
+    identical order, which epoch-reshuffles get by bumping the seed.
+    Per-shard work is a local sort of corpus/16^n_hex: size ``n_hex`` so a
+    shard fits a worker heap (n_hex=1 matches the registered oracle;
+    n_hex=3 → 4096 shards is the 100-TB setting). md5 keys are uniform, so
+    shards balance to ±O(sqrt) without salting."""
     import hashlib
-
-    seed = "42"
-    hexd = {c: i for i, c in enumerate("0123456789abcdef")}
 
     def stamp(df: pd.DataFrame) -> pd.DataFrame:
         keys = [
@@ -472,8 +472,8 @@ def q_seeded_shuffle(sf_dir: str):
         ]
         out = df[["doc_id"]].copy()
         out["key"] = keys
-        out["shard"] = (
-            pd.Series(keys, index=out.index).str[0].map(hexd).astype(np.int64)
+        out["shard"] = np.array(
+            [int(k[:n_hex], 16) for k in keys], dtype=np.int64
         )
         return out
 

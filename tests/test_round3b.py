@@ -173,3 +173,12 @@ def test_seeded_shuffle_is_permutation_and_parallelism_invariant(
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+    # shard-count invariance: shard = key hex prefix, so the GLOBAL order
+    # by (shard, pos) is the lexicographic key order at ANY n_hex — scaling
+    # the shard count (the worker-heap knob) never changes the permutation
+    def global_order(n_hex):
+        df = q_seeded_shuffle(SF, n_hex=n_hex).to_pandas()
+        return list(df.sort_values(["shard", "pos"])["doc_id"])
+
+    assert global_order(1) == global_order(2)
