@@ -75,6 +75,7 @@ _TAIL = [
     "weighted_sample_source",  # oracle-bearing; pytest-enforced (window full)
     "redact_pii",           # oracle-bearing; pytest-enforced (window is full)
     "chunk_documents",      # oracle-bearing; pytest-enforced (window is full)
+    "top_terms",            # oracle-bearing; pytest-enforced (window is full)
     "pack_documents",       # rows-only (greedy stateful packing)
     "punct_stats",
     "docs_containing_the",

@@ -488,6 +488,96 @@ def q_seeded_shuffle(sf_dir: str, seed: str = "42", n_hex: int = 1):
     return ds.groupby("shard").map_groups(order_group, batch_format="pandas")
 
 
+def q_top_terms(sf_dir: str, k: int = 3):
+    """Salient-term extraction (TF-IDF-flavored, float-free): per doc, the
+    top-k words by (tf DESC, df ASC, word ASC) — frequent here, rare in the
+    corpus — with the exact integer tf/df evidence columns. Using the
+    lexicographic (tf, df) order instead of tf·log(N/df) keeps the total
+    order float-free, so the driver's stringified compare is exact.
+
+    Two-phase corpus pattern: phase 1 computes document frequency with
+    per-batch PARTIALS (one row per doc means a batch never splits a doc,
+    so per-batch (word → #docs) counts sum exactly) folded by ONE
+    vocabulary-sized groupby; the df map is then assembled INSIDE a Ray
+    task and broadcast by ObjectRef (never driver-materialized); phase 2
+    streams the corpus once more, ranking per batch against the broadcast
+    map. Exchange = vocabulary, not corpus. At 100 TB the df map caps by
+    dropping df=1 hapax terms (they can never beat a df≥1 tie anyway only
+    if tf ties — documented knob)."""
+    import ray
+
+    def df_partials(t: pa.Table) -> pa.Table:
+        words, raw, nonempty = _split_words(t)
+        parents = np.repeat(np.arange(len(t)), raw)
+        keep = nonempty[parents]
+        pairs = pd.DataFrame({"p": parents[keep], "w": words[keep]})
+        part = (
+            pairs.drop_duplicates()
+            .groupby("w", sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {"word": pa.array(part["w"], pa.string()),
+             "n": pa.array(part["n"].to_numpy(np.int64))}
+        )
+
+    df_tbl = (
+        _docs(sf_dir)
+        .map_batches(df_partials, batch_format="pyarrow")
+        .groupby("word")
+        .sum("n")
+    )
+
+    @ray.remote
+    def _build_df_map(*blocks):
+        # groupby output can include schema-less empty blocks — skip them
+        blocks = [b for b in blocks if b.num_columns]
+        if not blocks:
+            return {}
+        t = pa.concat_tables(blocks)
+        return dict(zip(t["word"].to_pylist(), t["sum(n)"].to_pylist()))
+
+    df_ref = _build_df_map.remote(*df_tbl.to_arrow_refs())
+
+    class TopTerms:
+        def __init__(self):
+            self.df = ray.get(df_ref)  # fetched once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            words, raw, nonempty = _split_words(t)
+            parents = np.repeat(np.arange(len(t)), raw)
+            keep = nonempty[parents]
+            doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            tf = (
+                pd.DataFrame({"p": parents[keep], "w": words[keep]})
+                .groupby(["p", "w"], sort=False)
+                .size()
+                .reset_index(name="tf")
+            )
+            tf["df"] = tf["w"].map(self.df).astype(np.int64)
+            tf = tf.sort_values(
+                ["p", "tf", "df", "w"],
+                ascending=[True, False, True, True],
+                kind="mergesort",
+            )
+            top = tf.groupby("p", sort=False).head(k).copy()
+            top["rank"] = top.groupby("p", sort=False).cumcount() + 1
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc_ids[top["p"].to_numpy()]),
+                    "rank": pa.array(top["rank"].to_numpy(np.int64)),
+                    "word": pa.array(top["w"], pa.string()),
+                    "tf": pa.array(top["tf"].to_numpy(np.int64)),
+                    "df": pa.array(top["df"].to_numpy(np.int64)),
+                }
+            )
+
+    return _docs(sf_dir).map_batches(
+        TopTerms, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
 def q_weighted_sample_source(sf_dir: str):
     """Deterministic source-weighted sampling (mixture weighting): keep a
     doc iff its content md5 is lexicographically below its source's hex
@@ -888,6 +978,7 @@ QUERIES = {
     "weighted_sample_source": q_weighted_sample_source,
     "redact_pii": q_redact_pii,
     "chunk_documents": q_chunk_documents,
+    "top_terms": q_top_terms,
     "pack_documents": q_pack_documents,
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
@@ -1057,6 +1148,23 @@ ORACLE_SQL = {
         "(CAST(substr(source, 4) AS INTEGER) % 4) + 1, 1)"
     ),
     "redact_pii": _redact_sql(),
+    # salient terms: float-free (tf DESC, df ASC, word ASC) total order
+    "top_terms": (
+        "WITH stripped AS (SELECT doc_id, regexp_replace(coalesce(text,''), "
+        "'^\\s+|\\s+$', '', 'g') AS st FROM documents), "
+        "words AS (SELECT doc_id, unnest(regexp_split_to_array(st, '\\s+')) "
+        "AS w FROM stripped WHERE st <> ''), "
+        "tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM words "
+        "GROUP BY doc_id, w), "
+        "df AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
+        "FROM words GROUP BY w), "
+        "ranked AS (SELECT tf.doc_id, tf.w AS word, tf.tf, df.df, "
+        "row_number() OVER (PARTITION BY tf.doc_id "
+        "ORDER BY tf.tf DESC, df.df ASC, tf.w ASC) AS rank "
+        "FROM tf JOIN df ON tf.w = df.w) "
+        "SELECT doc_id, CAST(rank AS BIGINT) AS rank, word, tf, df "
+        "FROM ranked WHERE rank <= 3"
+    ),
     # overlapping word windows (size 32, stride 24): starts at word
     # positions 1, 25, 49, … — generate_series mirrors "offset < n_words"
     "chunk_documents": (

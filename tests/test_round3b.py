@@ -22,6 +22,7 @@ SF = "/root/testdata/sf0.001"
         "weighted_sample_source",
         "redact_pii",
         "chunk_documents",
+        "top_terms",
     ],
 )
 def test_new_tail_queries_match_oracle(ray_session, name):
@@ -150,6 +151,32 @@ def test_chunk_documents_windows_and_coverage(ray_session, tmp_path):
     # tail if n > stride (80>24 handled above; 32>24 ⇒ 2 starts: 0 and 24)
     g4 = got[got["doc_id"] == 4]
     assert list(g4["n_tokens"]) == [32, 8]
+
+
+def test_top_terms_planted_corpus(ray_session, tmp_path):
+    """Salient-term semantics on a corpus built so the float-free
+    (tf DESC, df ASC, word ASC) order is fully forced: a word frequent in
+    one doc but ubiquitous in the corpus loses to a rarer word of equal tf;
+    both sides computed on the SAME fixture dir."""
+    import __ray_entry__ as entrymod
+    from clinical_trials_etl_ray.pipelines.textops import q_top_terms
+
+    rows = [
+        # 'common' appears in every doc (df=4); 'rare' only here (df=1)
+        {"doc_id": 0, "text": "rare rare common common filler0"},
+        {"doc_id": 1, "text": "common mid mid filler1"},
+        {"doc_id": 2, "text": "common mid filler2"},
+        {"doc_id": 3, "text": "common solo"},
+    ]
+    sf = _fixture_docs(tmp_path, rows)
+    assert_matches_oracle(
+        q_top_terms(sf), entrymod.oracle_sql()["top_terms"], sf
+    )
+    got = q_top_terms(sf).to_pandas()
+    d0 = got[got["doc_id"] == 0].sort_values("rank")
+    # tf=2 ties between 'rare' and 'common': df breaks it (1 < 4)
+    assert list(d0["word"]) == ["rare", "common", "filler0"]
+    assert list(d0["df"]) == [1, 4, 1]
 
 
 def test_seeded_shuffle_is_permutation_and_parallelism_invariant(
