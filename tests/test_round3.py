@@ -28,6 +28,16 @@ SF = "/root/testdata/sf0.001"
         "cdc_final_ts_filter",
         "cdc_change_feed",
         "near_dup_clusters",
+        # every remaining tail oracle-bearing query, driven BY NAME through
+        # the driver contract (the meta-test below fails if any is missing)
+        "mv_conv_stats",
+        "render_conversations",
+        "decontaminate_docs",
+        "quantiles_by_lang",
+        "stratified_sample",
+        "value_buckets",
+        "customer_lookup",
+        "distinct_mktsegments",
     ],
 )
 def test_displaced_window_queries_match_oracle(ray_session, name):
@@ -609,6 +619,30 @@ def test_window_invariants():
         "validate_events",
     ):
         assert n in window
+
+
+def test_every_tail_oracle_query_is_pytest_pinned():
+    """Every oracle-bearing query BEYOND the driver's 50-entry window must
+    be exercised by name somewhere under tests/ — otherwise its oracle is
+    dead weight nobody runs. Pure introspection (no Ray): scans the test
+    sources for each name."""
+    import os
+
+    import __ray_entry__ as entrymod
+
+    names = list(entrymod.queries())
+    oracles = entrymod.oracle_sql()
+    tail_oracle = [n for n in names[50:] if n in oracles]
+    tests_dir = os.path.dirname(os.path.abspath(__file__))
+    corpus = "\n".join(
+        open(os.path.join(tests_dir, f)).read()
+        for f in sorted(os.listdir(tests_dir))
+        if f.endswith(".py")
+    )
+    missing = [n for n in tail_oracle if f'"{n}"' not in corpus]
+    assert not missing, (
+        f"tail oracle-bearing queries with no pytest pin: {missing}"
+    )
 
 
 def test_decontaminate_drops_planted_overlap(ray_session):
