@@ -501,9 +501,10 @@ def q_top_terms(sf_dir: str, k: int = 3):
     vocabulary-sized groupby; the df map is then assembled INSIDE a Ray
     task and broadcast by ObjectRef (never driver-materialized); phase 2
     streams the corpus once more, ranking per batch against the broadcast
-    map. Exchange = vocabulary, not corpus. At 100 TB the df map caps by
-    dropping df=1 hapax terms (they can never beat a df≥1 tie anyway only
-    if tf ties — documented knob)."""
+    map. Exchange = vocabulary, not corpus. NOT implemented here (the
+    registered query is exact): at 100 TB the broadcast df map would need
+    a df floor (drop hapax terms) or a hash-partitioned lookup — the
+    extension point is ``_build_df_map``."""
     import ray
 
     def df_partials(t: pa.Table) -> pa.Table:
