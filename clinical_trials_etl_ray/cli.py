@@ -134,6 +134,24 @@ def main(argv=None) -> int:
                          "count, nn_count, sum, min, max, sum_utf8_len "
                          "(e.g. --agg n_turns:count --agg chars:sum_utf8_len:text)")
 
+    snp = sub.add_parser(
+        "seen",
+        help="cross-run incremental dedup: maintain a persisted "
+             "fingerprint index (one md5 per distinct document ever "
+             "ingested) and filter new data against it — only the "
+             "increment is exchanged, never the historical corpus",
+    )
+    snp.add_argument("action", choices=["update", "filter"])
+    snp.add_argument("index_dir")
+    snp.add_argument("input", help="parquet file/dir of documents")
+    snp.add_argument("--out-dir", default=None,
+                     help="(filter) survivors destination")
+    snp.add_argument("--format", choices=["parquet", "csv", "json"],
+                     default="parquet")
+    snp.add_argument("--text-col", default="text")
+    snp.add_argument("--buckets", type=int, default=32,
+                     help="(update) index partition count, fixed at creation")
+
     stp = sub.add_parser(
         "stats",
         help="print the committed lake (or view) state from manifest "
@@ -313,6 +331,27 @@ def main(argv=None) -> int:
                 ds = read_matview(args.mv_dir, version=args.version)
                 {"parquet": write_parquet, "csv": write_csv,
                  "json": write_json}[args.format](ds, args.out_dir)
+                print(json.dumps({"out": args.out_dir}))
+        elif args.cmd == "seen":
+            import ray.data
+
+            from .stages.seen_index import filter_unseen, update_seen_index
+
+            ds = ray.data.read_parquet(args.input)
+            if args.action == "update":
+                r = update_seen_index(
+                    args.index_dir, ds, text_col=args.text_col,
+                    num_buckets=args.buckets,
+                )
+                print(json.dumps(r.__dict__))
+            else:
+                if not args.out_dir:
+                    p.error("seen filter requires --out-dir")
+                from .sources.writers import write_csv, write_json, write_parquet
+
+                out = filter_unseen(ds, args.index_dir, text_col=args.text_col)
+                {"parquet": write_parquet, "csv": write_csv,
+                 "json": write_json}[args.format](out, args.out_dir)
                 print(json.dumps({"out": args.out_dir}))
         elif args.cmd == "verify":
             import tempfile

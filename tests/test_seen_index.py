@@ -127,3 +127,43 @@ def test_concurrent_index_writers_fail_loudly(ray_session, tmp_path):
     # ...so the stale handle's commit to the now-taken version must fail
     with pytest.raises(ConcurrentWriterError):
         stale.commit([], new_watermark_lsn=stale.global_watermark())
+
+
+def test_cli_seen_update_and_filter(tmp_path):
+    """Operational surface: `seen update` twice (second is a novel-only
+    no-op), then `seen filter` drops exactly the indexed content
+    (subprocess — the CLI owns its own Ray session)."""
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    hist = str(tmp_path / "hist.parquet")
+    pq.write_table(
+        pa.table({"doc_id": [0, 1, 2], "text": ["a b", "c d", "e f"]}), hist
+    )
+    inc = str(tmp_path / "inc.parquet")
+    pq.write_table(
+        pa.table({"doc_id": [10, 11], "text": ["c d", "new stuff"]}), inc
+    )
+    idx = str(tmp_path / "idx")
+
+    def run(*args):
+        out = subprocess.run(
+            [sys.executable, "-m", "clinical_trials_etl_ray.cli",
+             "--num-cpus", "2", *args],
+            capture_output=True, text=True, cwd="/root/repo", check=True,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    r1 = run("seen", "update", idx, hist, "--buckets", "4")
+    assert r1["fps_added"] == 3
+    r2 = run("seen", "update", idx, hist, "--buckets", "4")
+    assert r2["fps_added"] == 0  # idempotent re-ingest
+
+    outdir = str(tmp_path / "survivors")
+    run("seen", "filter", idx, inc, "--out-dir", outdir)
+    got = pq.read_table(outdir)
+    assert got.column("doc_id").to_pylist() == [11]
