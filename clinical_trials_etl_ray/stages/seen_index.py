@@ -117,16 +117,20 @@ def update_seen_index(
     under task retry); ONE atomic manifest commit publishes all of them.
     """
     man = Manifest.load_or_create(index_dir, num_buckets)
-    files_by_bucket = {
-        b: man.files_for_bucket(b) for b in range(man.num_buckets)
-    }
-
     stamped = ds.map_batches(
         lambda df: stamp_fingerprints(df, text_col, num_buckets)[
             [FP_COL, BUCKET_COL]
         ],
         batch_format="pandas",
     )
+    return _update_from_stamped(man, stamped)
+
+
+def _update_from_stamped(man: Manifest, stamped) -> SeenIndexReport:
+    index_dir = man.lake_dir
+    files_by_bucket = {
+        b: man.files_for_bucket(b) for b in range(man.num_buckets)
+    }
 
     def _write_novel(g: pd.DataFrame) -> pd.DataFrame:
         bucket = int(g[BUCKET_COL].iat[0])
@@ -175,16 +179,19 @@ def filter_unseen(ds, index_dir: str, text_col: str = "text"):
     partition once.
     """
     man = Manifest.load(index_dir)
+    stamped = ds.map_batches(
+        lambda df: stamp_fingerprints(df, text_col, man.num_buckets),
+        batch_format="pandas",
+    )
+    return _filter_from_stamped(man, stamped)
+
+
+def _filter_from_stamped(man: Manifest, stamped):
+    index_dir = man.lake_dir
     files_by_bucket = {
         b: man.files_for_bucket(b) for b in range(man.num_buckets)
     }
-    num_buckets = man.num_buckets
     drop = [FP_COL, BUCKET_COL]
-
-    stamped = ds.map_batches(
-        lambda df: stamp_fingerprints(df, text_col, num_buckets),
-        batch_format="pandas",
-    )
 
     def _filter(g: pd.DataFrame) -> pd.DataFrame:
         bucket = int(g[BUCKET_COL].iat[0])
@@ -194,3 +201,38 @@ def filter_unseen(ds, index_dir: str, text_col: str = "text"):
     return stamped.groupby(BUCKET_COL).map_groups(
         _filter, batch_format="pandas"
     )
+
+
+def filter_then_update(
+    index_dir: str, ds, text_col: str = "text", num_buckets: int = 32
+):
+    """The nightly-ingest composite: survivors = rows the index has never
+    seen, AND the increment's novel fingerprints are folded into the index
+    for the next run. ONE stamping pass: the stamped increment is
+    materialized (it is the SMALL side — the history is never read beyond
+    the touched index partitions) and feeds both exchanges. The filter
+    runs against the PRE-update manifest snapshot (captured before the
+    commit), so the increment's own fingerprints never filter it.
+
+    ``num_buckets`` only applies when the index does not exist yet; an
+    existing index keeps its committed bucket count.
+
+    Returns ``(survivors Dataset, SeenIndexReport)``.
+    """
+    if Manifest.exists(index_dir):
+        man = Manifest.load(index_dir)
+    else:
+        man = Manifest.load_or_create(index_dir, num_buckets)
+    buckets = man.num_buckets
+    stamped = ds.map_batches(
+        lambda df: stamp_fingerprints(df, text_col, buckets),
+        batch_format="pandas",
+    ).materialize()
+    survivors = _filter_from_stamped(man, stamped)  # pre-update snapshot
+    report = _update_from_stamped(
+        man,
+        stamped.map_batches(
+            lambda df: df[[FP_COL, BUCKET_COL]], batch_format="pandas"
+        ),
+    )
+    return survivors, report

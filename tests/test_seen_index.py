@@ -167,3 +167,33 @@ def test_cli_seen_update_and_filter(tmp_path):
     run("seen", "filter", idx, inc, "--out-dir", outdir)
     got = pq.read_table(outdir)
     assert got.column("doc_id").to_pylist() == [11]
+
+
+def test_filter_then_update_composite(ray_session, tmp_path):
+    """One-pass nightly-ingest composite: survivors are computed against
+    the PRE-update index state (the increment's own fps never filter it),
+    and the update makes a re-run of the same increment fully seen."""
+    from clinical_trials_etl_ray.stages.seen_index import (
+        filter_then_update,
+        filter_unseen,
+        update_seen_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    update_seen_index(
+        idx,
+        _docs_ds([{"doc_id": i, "text": f"old {i}"} for i in range(6)]),
+        num_buckets=4,
+    )
+    increment = [
+        {"doc_id": 20, "text": "old 2"},   # seen → dropped
+        {"doc_id": 21, "text": "brand new"},
+        {"doc_id": 22, "text": "brand new"},  # within-increment dup survives
+    ]
+    survivors, report = filter_then_update(idx, _docs_ds(increment))
+    got = survivors.to_pandas().sort_values("doc_id")
+    assert list(got["doc_id"]) == [21, 22]
+    assert report.fps_added == 1  # 'old 2' was known; 'brand new' is one fp
+
+    # the composite recorded the increment: a re-run is fully seen
+    assert filter_unseen(_docs_ds(increment), idx).count() == 0
