@@ -63,6 +63,7 @@ _ORACLE_FIRST = [
 _TAIL = [
     "cdc_final_ts_filter",  # oracle-bearing; pytest-enforced (window is full)
     "cdc_change_feed",      # oracle-bearing; pytest-enforced (window is full)
+    "cdc_replica_final",    # oracle-bearing; pytest-enforced (window is full)
     "mv_conv_stats",        # oracle-bearing; pytest-enforced (window is full)
     "render_conversations", # oracle-bearing; pytest-enforced (window is full)
     "near_dup_clusters",    # oracle-bearing; pytest-enforced (window is full)

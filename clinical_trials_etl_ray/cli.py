@@ -111,6 +111,28 @@ def main(argv=None) -> int:
     chp.add_argument("--format", choices=["parquet", "csv", "json"],
                      default="parquet")
 
+    syp = sub.add_parser(
+        "sync",
+        help="CDC fan-out: apply the source lake's change feed to a "
+             "replica lake, advancing it to the source watermark — "
+             "incremental (O(change rate)), idempotent, resumable; the "
+             "replica may use its own bucket count / salt",
+    )
+    syp.add_argument("src_lake")
+    syp.add_argument("dst_lake")
+    syp.add_argument("--buckets", type=int, default=None,
+                     help="replica bucket count, fixed at replica creation "
+                          "(default: the source's)")
+    syp.add_argument("--hot-key-salt", type=int, default=1,
+                     help="replica hot-key salt factor, fixed at creation")
+    syp.add_argument("--cut", choices=["stable", "committed"],
+                     default="stable",
+                     help="sync horizon: 'stable' = the source watermark "
+                          "(safe while the producer is live and may "
+                          "reorder; trails by ≤ the disorder bound), "
+                          "'committed' = every committed source row "
+                          "(full current state; quiesced sources only)")
+
     mp = sub.add_parser(
         "matview",
         help="build / incrementally refresh / export the per-conversation "
@@ -299,6 +321,17 @@ def main(argv=None) -> int:
                 args.format
             ](ds, args.out_dir)
             print(json.dumps({"out": args.out_dir}))
+        elif args.cmd == "sync":
+            from .pipelines.replay import sync_replica
+
+            r = sync_replica(
+                args.src_lake,
+                args.dst_lake,
+                num_buckets=args.buckets,
+                hot_key_salt=args.hot_key_salt,
+                cut=args.cut,
+            )
+            print(json.dumps(r.__dict__))
         elif args.cmd == "matview":
             from .stages.matview import (
                 build_matview,

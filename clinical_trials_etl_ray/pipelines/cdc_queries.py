@@ -391,6 +391,46 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_cdc_replica_final(sf_dir: str):
+    """CDC fan-out (pipelines/replay.sync_replica): replay HALF the derived
+    binlog into a source lake → sync a replica (re-partitioned: 16 source
+    buckets → 5 replica buckets, non-power-of-two) → replay the rest →
+    second INCREMENTAL sync (the change feed is manifest-pruned to the
+    deltas committed since the first sync) → read the REPLICA's final
+    table. Oracle: the same SQL_FINAL as cdc_replay_final — replica state
+    ≡ source state at the synced watermark regardless of how many syncs
+    the history was split into. Registered beyond the driver's 50-query
+    window; the oracle comparison runs in pytest
+    (test_round3.test_displaced_window_queries_match_oracle,
+    test_replica.py)."""
+    from ..pipelines.replay import replay, sync_replica
+    from ..schema import TRANSCRIPT_SCHEMA
+    from ..stages.merge import read_final_table
+
+    work = tempfile.mkdtemp(prefix="cdc_replica_", dir="/tmp")
+    binlog_dir = os.path.join(work, "binlog")
+    src_lake = os.path.join(work, "src_lake")
+    replica = os.path.join(work, "replica")
+    derived_binlog_ds(sf_dir).write_parquet(binlog_dir)
+    shards = sorted(
+        os.path.join(binlog_dir, f)
+        for f in os.listdir(binlog_dir)
+        if f.endswith(".parquet")
+    )
+    half = max(1, len(shards) // 2)
+    replay(shards[:half], src_lake, num_buckets=16, files_per_chunk=4)
+    sync_replica(src_lake, replica, num_buckets=5)
+    replay(shards, src_lake, num_buckets=16, files_per_chunk=4)
+    sync_replica(src_lake, replica)
+    final = read_final_table(replica)
+    table = pa.concat_tables(
+        list(final.iter_batches(batch_format="pyarrow"))
+        or [TRANSCRIPT_SCHEMA.empty_table()]
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return table
+
+
 def q_mv_conv_stats(sf_dir: str):
     """Incremental materialized-view maintenance (stages/matview.py): replay
     HALF the derived binlog → full MV build → replay the rest (manifest
@@ -539,6 +579,7 @@ QUERIES = {
     "cdc_final_conv_filter": q_cdc_final_conv_filter,
     "cdc_final_ts_filter": q_cdc_final_ts_filter,
     "cdc_change_feed": q_cdc_change_feed,
+    "cdc_replica_final": q_cdc_replica_final,
     "mv_conv_stats": q_mv_conv_stats,
     "render_conversations": q_render_conversations,
     "validate_events": q_validate_events,
@@ -552,6 +593,7 @@ ORACLE_SQL = {
     "cdc_final_conv_filter": SQL_FINAL_CONV_FILTER,
     "cdc_final_ts_filter": SQL_FINAL_TS_FILTER,
     "cdc_change_feed": SQL_CHANGE_FEED,
+    "cdc_replica_final": SQL_FINAL,
     "mv_conv_stats": SQL_MV_CONV_STATS,
     "render_conversations": SQL_RENDER_CONVERSATIONS,
     "validate_events": SQL_VALIDATE_EVENTS,

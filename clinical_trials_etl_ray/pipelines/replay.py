@@ -352,6 +352,11 @@ def replay(
                 "max_lsn": int(r["max_lsn"]),
                 "conv_min": r.get("conv_min"),
                 "conv_max": r.get("conv_max"),
+                # per-file event-time range (tombstones included — see
+                # merge._STATS_SCHEMA): recorded on DELTAS too, so the
+                # read path's sound ts prunes apply before any compaction
+                "ts_us_min": r.get("ts_us_min"),
+                "ts_us_max": r.get("ts_us_max"),
             }
             for r in stats
             if r["kind"] != "noop"  # stale-only writer output: metrics, no file
@@ -470,6 +475,171 @@ def follow(
         if idle < idle_rounds and (max_rounds is None or rounds < max_rounds):
             _time.sleep(poll_interval_s)
     return total
+
+
+def sync_replica(
+    src_lake: str,
+    dst_lake: str,
+    num_buckets: int | None = None,
+    hot_key_salt: int = 1,
+    batch_size: int | None = None,
+    cut: str = "stable",
+) -> ReplayReport:
+    """CDC fan-out: bring a downstream replica lake up to the source lake's
+    watermark by applying the incremental change feed — the consuming half
+    of ``stages.merge.read_change_feed``.
+
+    One sync round: read the feed ``(dst watermark, cut]`` from a pinned
+    source manifest snapshot (prunes to files committed since the last
+    sync — O(change rate), not O(lake)), route rows through the SAME
+    prep → in-batch-LWW → direct-delta-writer path as ingest, and commit
+    the replica manifest at the cut. Because feed rows are full event rows
+    (op/lsn kept) and LWW is associative, the replica's resolved state
+    equals the source's at every synced cut — regardless of how many syncs
+    the history was split into.
+
+    ``cut`` picks the sync horizon:
+      - "stable" (default): the source's global watermark — the LSN at or
+        below which no late event can still arrive (the final ingest chunk
+        commits its watermark ``disorder_bound`` behind its max LSN). The
+        ONLY sound incremental cut while the producer is live and may
+        reorder: a replica synced past it could permanently miss a late
+        source row landing inside its already-consumed window. The replica
+        trails the source's full state by at most the disorder bound and
+        equals ``read_final_table(src, as_of_lsn=watermark)`` exactly.
+      - "committed": the max LSN across all committed source files — the
+        replica equals the source's FULL current state. Sound only when
+        the source is quiesced/sealed (or the producer is strictly
+        LSN-ordered, where stable == committed anyway).
+
+    The replica is an independent lake: it may use a DIFFERENT bucket count
+    / hot-key salt than the source (re-partitioning fan-out). Defaults
+    mirror the source's bucket count. Idempotent and resumable exactly like
+    ``replay``: a no-change sync is a skipped no-op; a crash between
+    staging and commit leaves unreferenced orphans only, and the rerun
+    converges to the same committed state.
+
+    Reference analog: the reference's downstreams re-export the entire
+    collection every time (trials_extractor/storage/json_exporter.py);
+    this is the incremental replacement at the consumer end.
+    """
+    import ray as _ray
+    import ray.data
+
+    from ..schema import (
+        EVENT_SCHEMA,
+        schema_from_b64,
+        schema_to_b64,
+        union_event_schema,
+    )
+    from ..stages.merge import make_direct_delta_writer, read_change_feed
+
+    src = Manifest.load(src_lake)
+    if cut == "stable":
+        until = src.global_watermark()
+    elif cut == "committed":
+        until = max(
+            (
+                int(f["max_lsn"])
+                for b in range(src.num_buckets)
+                for f in src.files_for_bucket(b)
+            ),
+            default=src.global_watermark(),
+        )
+    else:
+        raise ValueError(f"cut must be 'stable' or 'committed', got {cut!r}")
+    if num_buckets is None:
+        num_buckets = src.num_buckets
+    if Manifest.exists(dst_lake):
+        dst = Manifest.load(dst_lake)
+    else:
+        dst = Manifest.load_or_create(
+            dst_lake, num_buckets, salt_factor=hot_key_salt
+        )
+    since = dst.global_watermark()
+
+    report = ReplayReport()
+    report.chunks_total = 1
+    if until <= since:
+        report.chunks_skipped = 1
+        report.final_version = dst.version
+        return report
+
+    # replica schema follows the source's committed (possibly evolved)
+    # schema, unioned with the replica's own prior — additive only, same
+    # refuse-to-narrow guarantee as ingest
+    schemas = [EVENT_SCHEMA]
+    if src.schema_ipc:
+        schemas.append(schema_from_b64(src.schema_ipc))
+    if dst.schema_ipc:
+        schemas.append(schema_from_b64(dst.schema_ipc))
+    target_schema = union_event_schema(schemas)
+
+    feed = read_change_feed(
+        src_lake, since_lsn=since, until_lsn=until, version=src.version
+    )
+    ds = feed.map_batches(
+        prep_batch,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        fn_kwargs={
+            "num_buckets": dst.num_buckets,
+            "min_lsn_exclusive": -1,  # writer gates per-bucket staleness
+            "salt_factor": dst.salt_factor,
+            "target_schema": target_schema,
+        },
+    )
+    ds = ds.map_batches(
+        dedupe_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+    writer = make_direct_delta_writer(dst_lake, dst.watermarks())
+    stats = ds.map_batches(
+        writer, batch_format="pyarrow", batch_size=batch_size
+    ).take_all()  # tiny: ≤ one row per (task, bucket)
+
+    new_files = [
+        {
+            "bucket": int(r["bucket"]),
+            "path": r["path"],
+            "kind": r["kind"],
+            "content_hash": r["content_hash"],
+            "row_count": int(r["row_count"]),
+            "min_lsn": int(r["min_lsn"]),
+            "max_lsn": int(r["max_lsn"]),
+            "conv_min": r.get("conv_min"),
+            "conv_max": r.get("conv_max"),
+            "ts_us_min": r.get("ts_us_min"),
+            "ts_us_max": r.get("ts_us_max"),
+        }
+        for r in stats
+        if r["kind"] != "noop"
+    ]
+    delta_rows = sum(f["row_count"] for f in new_files)
+    rows_deduped = sum(int(r.get("rows_in") or 0) for r in stats)
+    stale_skipped = sum(int(r.get("stale_skipped") or 0) for r in stats)
+    dst = dst.commit(
+        new_files,
+        new_watermark_lsn=until,
+        schema_names=list(target_schema.names),
+        schema_ipc=schema_to_b64(target_schema),
+        metrics={
+            "replica_sync": True,
+            "src_lake": os.path.abspath(src_lake),
+            "src_version": src.version,
+            "since_lsn": since,
+            "until_lsn": until,
+            "rows_deduped": rows_deduped,
+            "stale_skipped": stale_skipped,
+            "delta_rows": delta_rows,
+        },
+    )
+    report.chunks_applied = 1
+    report.events_read = rows_deduped
+    report.rows_deduped = rows_deduped
+    report.stale_skipped = stale_skipped
+    report.delta_rows_written = delta_rows
+    report.final_version = dst.version
+    return report
 
 
 def compact(lake_dir: str, tombstone_horizon_us: int | None = None) -> int:

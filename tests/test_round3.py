@@ -27,6 +27,7 @@ SF = "/root/testdata/sf0.001"
         # window is full)
         "cdc_final_ts_filter",
         "cdc_change_feed",
+        "cdc_replica_final",
         "near_dup_clusters",
         # every remaining tail oracle-bearing query, driven BY NAME through
         # the driver contract (the meta-test below fails if any is missing)
@@ -207,6 +208,31 @@ def test_ts_file_stats_recorded_and_row_filter_exact(ts_lake):
     assert len(got) == int((ts_us >= mid).sum()) > 0
     got2 = read_final_table(ts_lake, ts_max=mid).to_pandas()
     assert len(got2) == int((ts_us <= mid).sum()) > 0
+
+
+def test_ts_stats_recorded_on_delta_files(ray_session, tmp_path):
+    """UNCOMPACTED delta files carry ts ranges too — recorded at ingest
+    (pipelines/replay.py new_files), so the read path's sound ts prunes
+    apply before any compaction ever runs."""
+    from clinical_trials_etl_ray.pipelines.replay import replay
+    from clinical_trials_etl_ray.state.manifest import Manifest
+    from clinical_trials_etl_ray.synth import BinlogSpec, write_binlog_shards
+
+    binlog = str(tmp_path / "binlog")
+    spec = BinlogSpec(n_events=2_000, n_convs=20, seed=7)
+    write_binlog_shards(spec, binlog, n_shards=2, parallel=False)
+    lake = str(tmp_path / "lake")
+    replay(binlog, lake, num_buckets=4, files_per_chunk=2)
+
+    man = Manifest.load(lake)
+    files = [f for b in range(4) for f in man.files_for_bucket(b)]
+    assert files and all(f["kind"] == "delta" for f in files)
+    assert all(
+        f.get("ts_us_min") is not None
+        and f.get("ts_us_max") is not None
+        and f["ts_us_max"] >= f["ts_us_min"]
+        for f in files
+    )
 
 
 def test_ts_prune_skips_file_reads(ts_lake):
