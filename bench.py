@@ -92,8 +92,26 @@ def bench_cdc_replay() -> dict:
     )
     n_final = read_final_table(lake).count()
     dt = time.perf_counter() - t0
+
+    # replica fan-out over the just-built lake: change-feed read + apply
+    # (cut="committed": the bench source is quiesced). Timed separately —
+    # the headline replay measurement above is unchanged.
+    from clinical_trials_etl_ray.pipelines.replay import sync_replica
+
+    replica = f"{lake}_replica"
+    shutil.rmtree(replica, ignore_errors=True)
+    t1 = time.perf_counter()
+    rep = sync_replica(lake, replica, cut="committed")
+    sync_dt = time.perf_counter() - t1
+    shutil.rmtree(replica, ignore_errors=True)
     shutil.rmtree(lake, ignore_errors=True)
-    return {"sec": dt, "events_per_sec": N_EVENTS / dt, "final_rows": n_final}
+    return {
+        "sec": dt,
+        "events_per_sec": N_EVENTS / dt,
+        "final_rows": n_final,
+        "replica_sync_sec": sync_dt,
+        "replica_rows_synced": rep.delta_rows_written,
+    }
 
 
 def bench_queries() -> dict:
@@ -187,6 +205,8 @@ def run_plain() -> dict:
             "n_events": N_EVENTS,
             "events_per_sec": round(headline["events_per_sec"]),
             "final_rows": headline["final_rows"],
+            "replica_sync_sec": round(headline["replica_sync_sec"], 3),
+            "replica_rows_synced": headline["replica_rows_synced"],
         },
     }
     return out

@@ -71,6 +71,14 @@ def main(argv=None) -> int:
 
     cp = sub.add_parser("compact")
     cp.add_argument("lake_dir")
+    cp.add_argument("--mode", choices=["major", "minor"], default="major",
+                    help="major: fold base+deltas into one resolved base "
+                         "per bucket (O(lake)); minor: fold only the delta "
+                         "files into one consolidated delta, base untouched "
+                         "(O(data since last compaction) — the steady-state "
+                         "pass under continuous ingest)")
+    cp.add_argument("--min-files", type=int, default=2,
+                    help="(minor) skip buckets with fewer delta files")
     cp.add_argument("--expire-keep-last", type=int, default=None,
                     help="after compacting, retire all but the newest N "
                          "manifest versions and reclaim their files "
@@ -268,7 +276,7 @@ def main(argv=None) -> int:
         elif args.cmd == "compact":
             from .pipelines.replay import compact
 
-            n = compact(args.lake_dir)
+            n = compact(args.lake_dir, mode=args.mode, min_files=args.min_files)
             expired = []
             if args.expire_keep_last is not None:
                 from .state.manifest import Manifest

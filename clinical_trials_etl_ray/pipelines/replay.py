@@ -357,6 +357,8 @@ def replay(
                 # read path's sound ts prunes apply before any compaction
                 "ts_us_min": r.get("ts_us_min"),
                 "ts_us_max": r.get("ts_us_max"),
+                # point-lookup file prune (functions/bloom)
+                "conv_bloom": r.get("conv_bloom"),
             }
             for r in stats
             if r["kind"] != "noop"  # stale-only writer output: metrics, no file
@@ -610,6 +612,7 @@ def sync_replica(
             "conv_max": r.get("conv_max"),
             "ts_us_min": r.get("ts_us_min"),
             "ts_us_max": r.get("ts_us_max"),
+            "conv_bloom": r.get("conv_bloom"),
         }
         for r in stats
         if r["kind"] != "noop"
@@ -642,33 +645,76 @@ def sync_replica(
     return report
 
 
-def compact(lake_dir: str, tombstone_horizon_us: int | None = None) -> int:
-    """Fold every bucket's base+deltas into one base file each; one manifest
-    commit swaps all file lists atomically. Returns buckets compacted.
+def compact(
+    lake_dir: str,
+    tombstone_horizon_us: int | None = None,
+    mode: str = "major",
+    min_files: int = 2,
+) -> int:
+    """Compact the lake; one manifest commit swaps all touched buckets'
+    file lists atomically. Returns buckets compacted. Runs as parallel Ray
+    tasks — compaction is partition-aligned (no shuffle).
 
-    Runs as parallel Ray tasks — compaction is partition-aligned (no
-    shuffle)."""
+    mode="major" (default): fold every bucket's base+deltas into one fully
+    resolved base file each — cost O(lake). The maintenance pass that makes
+    point/ts prunes tight and caps read fan-in.
+
+    mode="minor": fold only each bucket's DELTA files (when at least
+    ``min_files`` of them) into one consolidated delta, leaving the base
+    untouched — cost O(data since the last compaction), NOT O(lake). The
+    steady-state pass for a 100-TB lake under continuous ingest: direct-
+    mode replay writes one delta per (task, bucket) per chunk, and minor
+    compaction keeps per-bucket read fan-in bounded without ever rewriting
+    the accumulated base. Tombstones are always retained (folding them away
+    without rewriting the base would resurrect deleted keys — enforced in
+    stages.merge.compact_bucket)."""
     import ray
 
+    if mode not in ("major", "minor"):
+        raise ValueError(f"mode must be 'major' or 'minor', got {mode!r}")
     man = Manifest.load(lake_dir)
 
     @ray.remote
-    def _do(bucket: int, files: list):
-        return bucket, compact_bucket(lake_dir, bucket, files, tombstone_horizon_us)
+    def _do(bucket: int, files: list, out_kind: str):
+        return bucket, compact_bucket(
+            lake_dir,
+            bucket,
+            files,
+            tombstone_horizon_us if out_kind == "base" else None,
+            out_kind=out_kind,
+        )
 
-    refs = [
-        _do.remote(b, man.files_for_bucket(b))
-        for b in range(man.num_buckets)
-        if man.files_for_bucket(b)
-    ]
+    refs = []
+    kept_by_bucket = {}
+    for b in range(man.num_buckets):
+        files = man.files_for_bucket(b)
+        if not files:
+            continue
+        if mode == "major":
+            refs.append(_do.remote(b, files, "base"))
+            kept_by_bucket[b] = []
+        else:
+            if tombstone_horizon_us is not None:
+                raise ValueError(
+                    "tombstone_horizon_us requires mode='major' (minor "
+                    "compaction never rewrites the base, so dropping "
+                    "tombstones would resurrect deleted keys)"
+                )
+            deltas = [f for f in files if f["kind"] == "delta"]
+            if len(deltas) < min_files:
+                continue
+            refs.append(_do.remote(b, deltas, "delta"))
+            kept_by_bucket[b] = [f for f in files if f["kind"] != "delta"]
     replace = {}
     for bucket, info in ray.get(refs):
-        replace[bucket] = [info] if info else []
+        replace[bucket] = kept_by_bucket[bucket] + ([info] if info else [])
+    if not replace:
+        return 0
     man2 = man.commit(
         [],
         new_watermark_lsn=man.global_watermark(),
         replace_buckets=replace,
-        metrics={"compaction": True},
+        metrics={"compaction": True, "mode": mode},
     )
     man2.cleanup_orphans()
     return len(replace)

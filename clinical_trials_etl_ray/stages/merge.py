@@ -90,8 +90,18 @@ _STATS_SCHEMA = pa.schema(
         # Enables the sound ts file prunes in read_final_table.
         pa.field("ts_us_min", pa.int64()),
         pa.field("ts_us_max", pa.int64()),
+        # base64 Bloom filter over the file's distinct conv_id hashes —
+        # point-lookup file prune with no false negatives (functions/bloom)
+        pa.field("conv_bloom", pa.string()),
     ]
 )
+
+
+def _conv_bloom(t: pa.Table) -> str:
+    from ..functions.bloom import bloom_b64_from_hashes
+    from ..functions.hashing import hash_strings
+
+    return bloom_b64_from_hashes(hash_strings(t["conv_id"]))
 
 
 def _conv_minmax(t: pa.Table) -> tuple[str | None, str | None]:
@@ -159,6 +169,7 @@ def make_bucket_merge_fn(lake_dir: str, watermarks: dict):
                     "conv_min": [None], "conv_max": [None],
                     "rows_in": [rows_in], "stale_skipped": [stale],
                     "ts_us_min": [None], "ts_us_max": [None],
+                    "conv_bloom": [None],
                 },
                 schema=_STATS_SCHEMA,
             )
@@ -183,6 +194,7 @@ def make_bucket_merge_fn(lake_dir: str, watermarks: dict):
                 "stale_skipped": [stale],
                 "ts_us_min": [tmin],
                 "ts_us_max": [tmax],
+                "conv_bloom": [_conv_bloom(t)],
             },
             schema=_STATS_SCHEMA,
         )
@@ -231,7 +243,8 @@ def make_direct_delta_writer(lake_dir: str, watermarks: dict):
                          "content_hash": None, "row_count": 0,
                          "min_lsn": -1, "max_lsn": -1,
                          "conv_min": None, "conv_max": None,
-                         "rows_in": rows_in, "stale_skipped": stale}
+                         "rows_in": rows_in, "stale_skipped": stale,
+                         "conv_bloom": None}
                     )
                 continue
             sub = sub.drop_columns(["bucket"])
@@ -256,6 +269,7 @@ def make_direct_delta_writer(lake_dir: str, watermarks: dict):
                     "stale_skipped": stale,
                     "ts_us_min": tmin,
                     "ts_us_max": tmax,
+                    "conv_bloom": _conv_bloom(sub),
                 }
             )
         if not out:
@@ -403,7 +417,10 @@ def read_final_table(
     Predicate pushdown (the secondary-index analog, reference:
     mongodb_storage.py:94-134):
       - ``conv_id`` prunes to the key's ``salt_factor`` candidate BUCKETS
-        (hash routing), then to files overlapping it (manifest stats);
+        (hash routing), then to files overlapping it (manifest min/max
+        stats), then by each file's conv_id Bloom filter (functions/bloom —
+        no false negatives, so the skip is sound; decisive on UNCOMPACTED
+        deltas whose random-key min/max ranges all overlap);
       - ``conv_range=(lo, hi)`` prunes FILES by per-file conv_id min/max
         recorded in the manifest (compaction sorts each bucket by
         (conv_id, turn_idx), so post-compaction ranges are tight);
@@ -454,8 +471,28 @@ def read_final_table(
     ts_min_us = _to_ts_us(ts_min) if ts_min is not None else None
     ts_max_us = _to_ts_us(ts_max) if ts_max is not None else None
 
+    # point-lookup Bloom prune: a file whose Bloom filter rejects the key
+    # provably holds no row of that key (no false negatives), so skipping
+    # it cannot change the key's LWW winner — the same soundness argument
+    # as the conv_range prune in resolve_bucket. Files without a recorded
+    # filter (older manifests) are always read.
+    key_hash = None
+    if conv_id is not None:
+        from ..functions.hashing import hash_strings
+
+        key_hash = int(hash_strings([conv_id])[0])
+
     def _pruned_files(b: int) -> list:
         files = man.files_for_bucket(b)
+        if key_hash is not None:
+            from ..functions.bloom import bloom_might_contain
+
+            files = [
+                f
+                for f in files
+                if f.get("conv_bloom") is None
+                or bloom_might_contain(f["conv_bloom"], key_hash)
+            ]
         if ts_min_us is not None:
             files = [
                 f
@@ -623,14 +660,35 @@ def compact_bucket(
     bucket: int,
     files: list,
     tombstone_horizon_us: int | None = None,
+    out_kind: str = "base",
 ) -> dict | None:
-    """Fold a bucket's files into one base file; returns new fileinfo.
+    """Fold a bucket's files into one file of ``out_kind``; returns new
+    fileinfo.
 
-    Tombstones are RETAINED by default: future (higher-LSN) chunks may carry
-    events whose `ts` is older than a delete's — dropping the tombstone would
-    resurrect the key. If the producer guarantees bounded event-time disorder,
-    pass ``tombstone_horizon_us`` to drop tombstones older than
-    (max ts − horizon)."""
+    out_kind="base" (major compaction): ``files`` must be the bucket's FULL
+    list — the output is the bucket's fully resolved state.
+
+    out_kind="delta" (minor compaction): ``files`` is a subset of the
+    bucket's DELTA files; they fold into one consolidated delta via the same
+    LWW resolution (sound by LWW associativity — resolving deltas among
+    themselves, then against the base at read time, yields the same global
+    winner). Tombstone dropping is REFUSED here: the untouched base may
+    still carry the deleted key, so removing its tombstone would resurrect
+    it.
+
+    Tombstones are RETAINED by default even for bases: future (higher-LSN)
+    chunks may carry events whose `ts` is older than a delete's — dropping
+    the tombstone would resurrect the key. If the producer guarantees
+    bounded event-time disorder, pass ``tombstone_horizon_us`` to drop
+    tombstones older than (max ts − horizon)."""
+    if out_kind not in ("base", "delta"):
+        raise ValueError(f"out_kind must be 'base' or 'delta', got {out_kind!r}")
+    if out_kind == "delta" and tombstone_horizon_us is not None:
+        raise ValueError(
+            "tombstone_horizon_us is unsound for minor (delta-only) "
+            "compaction: the base is not rewritten, so a dropped tombstone "
+            "would resurrect the base row it deletes"
+        )
     resolved = resolve_bucket(lake_dir, bucket, files)
     if tombstone_horizon_us is not None and resolved.num_rows:
         max_ts = pc.max(resolved["ts"]).as_py()
@@ -655,12 +713,14 @@ def compact_bucket(
         )
     )
     h = content_hash(resolved)
-    path = _write_immutable(resolved, bucket_dir(lake_dir, bucket), f"base-{h}.parquet")
+    path = _write_immutable(
+        resolved, bucket_dir(lake_dir, bucket), f"{out_kind}-{h}.parquet"
+    )
     cmin, cmax = _conv_minmax(resolved)
     tmin, tmax = _ts_us_minmax(resolved)
     return {
         "path": os.path.relpath(path, lake_dir),
-        "kind": "base",
+        "kind": out_kind,
         "content_hash": h,
         "row_count": resolved.num_rows,
         "min_lsn": pc.min(resolved["lsn"]).as_py(),
@@ -672,4 +732,5 @@ def compact_bucket(
         # ts file prunes in read_final_table tight
         "ts_us_min": tmin,
         "ts_us_max": tmax,
+        "conv_bloom": _conv_bloom(resolved),
     }
