@@ -68,6 +68,11 @@ def main(argv=None) -> int:
     rp.add_argument("--matview-dir", default=None,
                     help="(--follow) incrementally refresh this materialized "
                          "view after every round that ingested data")
+    rp.add_argument("--replica-dir", default=None,
+                    help="(--follow) keep this downstream replica lake "
+                         "synced to each round's new stable watermark "
+                         "(seal with 'sync --cut committed' once the "
+                         "producer quiesces)")
 
     cp = sub.add_parser("compact")
     cp.add_argument("lake_dir")
@@ -269,7 +274,8 @@ def main(argv=None) -> int:
                 r = follow(args.binlog_dir, args.lake_dir,
                            poll_interval_s=args.poll_interval,
                            idle_rounds=args.idle_rounds,
-                           matview_dir=args.matview_dir, **kw)
+                           matview_dir=args.matview_dir,
+                           replica_dir=args.replica_dir, **kw)
             else:
                 r = replay(args.binlog_dir, args.lake_dir, **kw)
             print(json.dumps(r.__dict__))

@@ -407,6 +407,7 @@ def follow(
     idle_rounds: int = 3,
     max_rounds: int | None = None,
     matview_dir: str | None = None,
+    replica_dir: str | None = None,
     **replay_kwargs,
 ) -> ReplayReport:
     """Tail a growing binlog directory: repeatedly replay (committed chunks
@@ -422,6 +423,13 @@ def follow(
     continuously fresh — after every round that ingested data, the view is
     incrementally refreshed (only buckets the round's commits touched
     recompute). The streaming downstream-consumer loop in one call.
+
+    ``replica_dir``: keep a downstream replica lake continuously synced —
+    after every round that ingested data, ``sync_replica`` applies the
+    change feed up to the new stable watermark (each sync is O(that
+    round's data)). The replica trails the source by at most the disorder
+    bound while following; run one ``sync_replica(cut="committed")`` after
+    the producer quiesces to seal it.
     """
     import time as _time
     import warnings
@@ -473,6 +481,8 @@ def follow(
                 from ..stages.matview import refresh_matview
 
                 refresh_matview(lake_dir, matview_dir)
+            if replica_dir is not None and r.chunks_applied:
+                sync_replica(lake_dir, replica_dir)
         rounds += 1
         if idle < idle_rounds and (max_rounds is None or rounds < max_rounds):
             _time.sleep(poll_interval_s)

@@ -191,6 +191,42 @@ def test_replica_schema_evolution_propagates(ray_session, tmp_path):
     assert got["tool_calls"].isna().any()  # pre-evolution rows null-backfilled
 
 
+def test_follow_keeps_replica_synced(src_binlog, tmp_path):
+    """follow(replica_dir=...) = continuous fan-out: every ingest round
+    ends with the replica synced to the new stable watermark; sealing with
+    cut='committed' after the producer quiesces catches it fully up."""
+    import shutil
+
+    from clinical_trials_etl_ray.pipelines.replay import follow
+
+    grow_dir = tmp_path / "growing"
+    grow_dir.mkdir()
+    shards = sorted(
+        os.path.join(src_binlog, f) for f in os.listdir(src_binlog)
+    )
+    for f in shards[:2]:
+        shutil.copy(f, grow_dir)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "replica")
+    follow(str(grow_dir), src, poll_interval_s=0.05, idle_rounds=1,
+           replica_dir=dst, num_buckets=8, files_per_chunk=2)
+    wm = Manifest.load(dst).global_watermark()
+    assert wm > -1  # a sync ran and advanced the replica
+
+    for f in shards[2:]:
+        shutil.copy(f, grow_dir)
+    follow(str(grow_dir), src, poll_interval_s=0.05, idle_rounds=1,
+           replica_dir=dst, num_buckets=8, files_per_chunk=2)
+    assert Manifest.load(dst).global_watermark() > wm
+    assert (
+        Manifest.load(dst).global_watermark()
+        == Manifest.load(src).global_watermark()
+    )
+
+    sync_replica(src, dst, cut="committed")  # seal
+    pd.testing.assert_frame_equal(_final(dst), _final(src))
+
+
 def test_replica_crash_between_stage_and_commit_recovers(
     src_binlog, tmp_path, monkeypatch
 ):
