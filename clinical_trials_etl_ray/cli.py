@@ -108,6 +108,10 @@ def main(argv=None) -> int:
                          " manifest ts file prune + row filter)")
     dp.add_argument("--ts-max", default=None,
                     help="inclusive event-time end (ISO ts or epoch µs int)")
+    dp.add_argument("--columns", default=None,
+                    help="comma-separated payload columns to read "
+                         "(projection pushdown: other columns are never "
+                         "decoded from parquet; keys always included)")
 
     chp = sub.add_parser(
         "changes",
@@ -317,6 +321,11 @@ def main(argv=None) -> int:
                 conv_range=conv_range,
                 ts_min=_ts_arg(args.ts_min),
                 ts_max=_ts_arg(args.ts_max),
+                columns=(
+                    [c.strip() for c in args.columns.split(",")]
+                    if args.columns
+                    else None
+                ),
             )
             {"parquet": write_parquet, "csv": write_csv, "json": write_json}[
                 args.format

@@ -284,6 +284,11 @@ def make_direct_delta_writer(lake_dir: str, watermarks: dict):
 # ---------------------------------------------------------------------------
 
 
+#: columns LWW resolution itself requires — always read even under
+#: projection (upsert key + ordering + op)
+KEY_COLS = ("conv_id", "turn_idx", "ts", "lsn", "op")
+
+
 def resolve_bucket(
     lake_dir: str,
     bucket: int,
@@ -291,6 +296,7 @@ def resolve_bucket(
     as_of_lsn: int | None = None,
     conv_range: tuple | None = None,
     since_lsn: int | None = None,
+    columns: list | None = None,
 ) -> pa.Table:
     """Read one bucket's base+delta files and resolve LWW winners.
 
@@ -322,6 +328,14 @@ def resolve_bucket(
     For exact snapshots of any committed state use
     ``read_final_table(version=...)``.
 
+    ``columns``: projection pushdown — only these payload columns (plus the
+    LWW-required ``KEY_COLS``) are decoded from Parquet. At transcript scale
+    the ``text`` column IS the table; an aggregate over roles or a turn
+    count should not move it off disk. LWW semantics are unaffected: the
+    winner is decided entirely by KEY_COLS, which are always read. Columns
+    a given file generation lacks (schema evolution) are skipped at that
+    file and null-filled by the schema unification below.
+
     Direct-mode ingest leaves MANY small delta files per bucket between
     compactions; reads are fanned over a thread pool (Arrow's parquet decode
     releases the GIL) so per-file open/decode latency overlaps instead of
@@ -344,8 +358,17 @@ def resolve_bucket(
     if not files:
         return EVENT_SCHEMA.empty_table()
 
+    needed = None
+    if columns is not None:
+        needed = list(dict.fromkeys(list(KEY_COLS) + list(columns)))
+
     def _read(f):
-        t = pq.read_table(os.path.join(lake_dir, f["path"]))
+        path = os.path.join(lake_dir, f["path"])
+        if needed is None:
+            t = pq.read_table(path)
+        else:
+            present = set(pq.read_schema(path).names)
+            t = pq.read_table(path, columns=[c for c in needed if c in present])
         if as_of_lsn is not None and f.get("max_lsn", as_of_lsn) > as_of_lsn:
             t = t.filter(pc.less_equal(t["lsn"], as_of_lsn))
         if since_lsn is not None and f.get("min_lsn", since_lsn) <= since_lsn:
@@ -364,6 +387,11 @@ def resolve_bucket(
     from ..schema import unify_to_schema, union_event_schema
 
     target = union_event_schema([t.schema for t in tables])
+    if needed is not None:
+        # the union floors to full EVENT_SCHEMA (null-filling the columns
+        # projection skipped — cheap Arrow null arrays, never decoded);
+        # project back down so callers see exactly key + requested columns
+        target = pa.schema([f for f in target if f.name in needed])
     return lww_winners(pa.concat_tables([unify_to_schema(t, target) for t in tables]))
 
 
@@ -407,8 +435,14 @@ def read_final_table(
     conv_range: tuple | None = None,
     ts_min=None,
     ts_max=None,
+    columns: list | None = None,
 ):
     """Ray Dataset of the committed lake state (transcript schema).
+
+    ``columns``: projection pushdown — only these payload columns (plus the
+    key/ordering columns LWW needs) are decoded from Parquet; see
+    ``resolve_bucket``. The result schema is the key columns + the
+    requested columns, in schema order.
 
     Shuffle-free: one `map_batches` task per bucket (the data is already
     hash-partitioned on conv_id); each task reads only its bucket's files.
@@ -465,6 +499,9 @@ def read_final_table(
 
         full = schema_from_b64(man.schema_ipc)
         committed = pa.schema([f for f in full if f.name not in ("lsn", "op")])
+        if columns is not None:
+            keep = set(KEY_COLS) | set(columns)
+            committed = pa.schema([f for f in committed if f.name in keep])
 
     # ts file prunes (see docstring): (a) drop files entirely below ts_min;
     # (b) skip buckets whose EVERY file is entirely above ts_max
@@ -516,10 +553,16 @@ def read_final_table(
         for b in range(man.num_buckets)
         if files_by_bucket[b] and (allowed is None or b in allowed)
     ]
+    fallback_schema = TRANSCRIPT_SCHEMA
+    if columns is not None:
+        keep = (set(KEY_COLS) | set(columns)) - {"lsn", "op"}
+        fallback_schema = pa.schema(
+            [f for f in TRANSCRIPT_SCHEMA if f.name in keep]
+        )
     if not items:
         return ray.data.from_arrow(
             committed.empty_table() if committed is not None
-            else TRANSCRIPT_SCHEMA.empty_table()
+            else fallback_schema.empty_table()
         )
 
     def resolve(batch: pa.Table) -> pa.Table:
@@ -531,6 +574,7 @@ def read_final_table(
                 files_by_bucket[row["bucket"]],
                 as_of_lsn=as_of_lsn,
                 conv_range=conv_range,
+                columns=columns,
             )
             t = live_rows(resolved)
             if committed is not None:
@@ -558,7 +602,7 @@ def read_final_table(
                     else t.filter(pc.less_equal(t["ts"], ts_max))
                 )
             out.append(t)
-        return pa.concat_tables(out) if out else TRANSCRIPT_SCHEMA.empty_table()
+        return pa.concat_tables(out) if out else fallback_schema.empty_table()
 
     ds = ray.data.from_items(items, override_num_blocks=len(items))
     kwargs = {"concurrency": concurrency} if concurrency else {}
