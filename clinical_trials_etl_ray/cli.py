@@ -113,6 +113,34 @@ def main(argv=None) -> int:
                          "(projection pushdown: other columns are never "
                          "decoded from parquet; keys always included)")
 
+    delp = sub.add_parser(
+        "delete",
+        help="predicate delete: tombstone every live row matching the "
+             "predicate through the exactly-once commit path (logical "
+             "delete; payload bytes remain until compaction)",
+    )
+    delp.add_argument("lake_dir")
+    delp.add_argument("--conv-id", default=None)
+    delp.add_argument("--conv-min", default=None)
+    delp.add_argument("--conv-max", default=None)
+    delp.add_argument("--ts-min", default=None,
+                      help="inclusive event-time start (ISO ts or epoch µs)")
+    delp.add_argument("--ts-max", default=None,
+                      help="inclusive event-time end (ISO ts or epoch µs)")
+    delp.add_argument("--dry-run", action="store_true",
+                      help="print the matched-row count; write nothing")
+    delp.add_argument("--allow-full", action="store_true",
+                      help="required to delete with no predicate (truncate)")
+
+    pup = sub.add_parser(
+        "purge",
+        help="physically rewrite every file that may hold the conversation "
+             "(range/Bloom-pruned) with its rows removed — right-to-erasure;"
+             " finish with compact --expire-keep-last to drop old versions",
+    )
+    pup.add_argument("lake_dir")
+    pup.add_argument("conv_id")
+
     chp = sub.add_parser(
         "changes",
         help="net-change feed (since_lsn, until_lsn] for downstream "
@@ -331,6 +359,37 @@ def main(argv=None) -> int:
                 args.format
             ](ds, args.out_dir)
             print(json.dumps({"out": args.out_dir}))
+        elif args.cmd == "delete":
+            from dataclasses import asdict
+
+            from .pipelines.retention import delete_where
+
+            def _ts_arg(v):
+                if v is None:
+                    return None
+                return int(v) if v.lstrip("-").isdigit() else v
+
+            conv_range = (
+                (args.conv_min, args.conv_max)
+                if (args.conv_min is not None or args.conv_max is not None)
+                else None
+            )
+            rep = delete_where(
+                args.lake_dir,
+                conv_id=args.conv_id,
+                conv_range=conv_range,
+                ts_min=_ts_arg(args.ts_min),
+                ts_max=_ts_arg(args.ts_max),
+                dry_run=args.dry_run,
+                allow_full=args.allow_full,
+            )
+            print(json.dumps(asdict(rep)))
+        elif args.cmd == "purge":
+            from dataclasses import asdict
+
+            from .pipelines.retention import purge_conv
+
+            print(json.dumps(asdict(purge_conv(args.lake_dir, args.conv_id))))
         elif args.cmd == "changes":
             from .sources.writers import write_csv, write_json, write_parquet
             from .stages.merge import read_change_feed

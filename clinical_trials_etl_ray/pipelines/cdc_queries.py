@@ -91,6 +91,7 @@ def run_cdc_replay(
     compact_first: bool = False,
     conv_range: tuple | None = None,
     ts_min=None,
+    delete_conv_range: tuple | None = None,
 ):
     """Full engine E2E: derive binlog → write shards → chunked replay with
     manifest commits → shuffle-free final-table read. Returns the final
@@ -108,6 +109,10 @@ def run_cdc_replay(
     lake_dir = os.path.join(work, "lake")
     derived_binlog_ds(sf_dir).write_parquet(binlog_dir)
     replay(binlog_dir, lake_dir, num_buckets=num_buckets, files_per_chunk=files_per_chunk)
+    if delete_conv_range is not None:
+        from .retention import delete_where
+
+        delete_where(lake_dir, conv_range=delete_conv_range)
     if compact_first:
         compact(lake_dir)
     final = read_final_table(lake_dir, conv_range=conv_range, ts_min=ts_min)
@@ -305,6 +310,25 @@ WITH final AS ({SQL_FINAL})
 SELECT * FROM final WHERE epoch_us(ts) >= (
   SELECT epoch_us(min(ts)) + (epoch_us(max(ts)) - epoch_us(min(ts))) // 2
   FROM events)
+"""
+
+
+def q_cdc_delete_where(sf_dir: str):
+    """Write-side predicate delete (pipelines/retention.delete_where):
+    replay → tombstone every live row in a conv range through the same
+    exactly-once commit path as ingest → read the final table. The match
+    scan is projection-pushed (only LWW key columns decoded) and
+    manifest-pruned. Oracle: LWW final state minus the range (lexicographic
+    string compare agrees between Arrow and DuckDB).
+
+    Reference analog: delete-by-query + re-export
+    (trials_extractor/storage/mongodb_storage.py:154-245)."""
+    return run_cdc_replay(sf_dir, delete_conv_range=("c3", "c5"))
+
+
+SQL_DELETE_WHERE = f"""
+WITH final AS ({SQL_FINAL})
+SELECT * FROM final WHERE conv_id < 'c3' OR conv_id > 'c5'
 """
 
 
@@ -578,6 +602,7 @@ QUERIES = {
     "cdc_final_by_role": q_cdc_final_by_role,
     "cdc_final_conv_filter": q_cdc_final_conv_filter,
     "cdc_final_ts_filter": q_cdc_final_ts_filter,
+    "cdc_delete_where": q_cdc_delete_where,
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_replica_final": q_cdc_replica_final,
     "mv_conv_stats": q_mv_conv_stats,
@@ -592,6 +617,7 @@ ORACLE_SQL = {
     "cdc_final_by_role": SQL_FINAL_BY_ROLE,
     "cdc_final_conv_filter": SQL_FINAL_CONV_FILTER,
     "cdc_final_ts_filter": SQL_FINAL_TS_FILTER,
+    "cdc_delete_where": SQL_DELETE_WHERE,
     "cdc_change_feed": SQL_CHANGE_FEED,
     "cdc_replica_final": SQL_FINAL,
     "mv_conv_stats": SQL_MV_CONV_STATS,

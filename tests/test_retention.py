@@ -1,0 +1,204 @@
+"""Write-side lifecycle ops (pipelines/retention.py): predicate deletes
+(tombstone emission through the exactly-once commit path) and physical
+purge (file rewrite with manifest swap)."""
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from clinical_trials_etl_ray.pipelines.replay import compact, replay
+from clinical_trials_etl_ray.pipelines.retention import delete_where, purge_conv
+from clinical_trials_etl_ray.stages.merge import read_final_table
+from clinical_trials_etl_ray.state.manifest import Manifest
+from clinical_trials_etl_ray.synth import BinlogSpec, write_binlog_shards
+
+
+@pytest.fixture()
+def lake(ray_session, tmp_path):
+    binlog = str(tmp_path / "binlog")
+    spec = BinlogSpec(
+        n_events=6_000, n_convs=40, seed=7, delete_rate=0.08,
+        duplicate_rate=0.05, shuffle_window=64,
+    )
+    write_binlog_shards(spec, binlog, n_shards=4, parallel=False)
+    lake = str(tmp_path / "lake")
+    replay(binlog, lake, num_buckets=8, files_per_chunk=2)
+    return lake
+
+
+def _final(lake_dir, **kw) -> pd.DataFrame:
+    return (
+        read_final_table(lake_dir, **kw)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def test_delete_conv_range(lake):
+    before = _final(lake)
+    in_range = before["conv_id"].between("c1", "c19")
+    assert in_range.any() and (~in_range).any()
+
+    rep = delete_where(lake, conv_range=("c1", "c19"))
+    assert rep.matched_rows == int(in_range.sum())
+    assert rep.files_written > 0
+    assert rep.tombstone_lsn > 0
+
+    after = _final(lake)
+    pd.testing.assert_frame_equal(
+        after, before[~in_range].reset_index(drop=True)
+    )
+    # logical delete: the payload bytes are still in the (immutable) files;
+    # a later compaction folds them away
+    assert Manifest.load(lake).version == rep.final_version
+
+
+def test_delete_idempotent_rerun(lake):
+    rep1 = delete_where(lake, conv_range=("c1", "c19"))
+    assert rep1.matched_rows > 0
+    v1 = Manifest.load(lake).version
+
+    rep2 = delete_where(lake, conv_range=("c1", "c19"))
+    assert rep2.matched_rows == 0
+    assert rep2.files_written == 0
+    assert Manifest.load(lake).version == v1  # no empty commit
+
+
+def test_delete_dry_run(lake):
+    before = _final(lake)
+    n = int(before["conv_id"].between("c1", "c19").sum())
+    rep = delete_where(lake, conv_range=("c1", "c19"), dry_run=True)
+    assert rep.dry_run and rep.matched_rows == n
+    pd.testing.assert_frame_equal(_final(lake), before)  # nothing written
+
+
+def test_delete_ts_retention(lake):
+    before = _final(lake)
+    cutoff = before["ts"].quantile(0.5)
+    rep = delete_where(lake, ts_max=cutoff)
+    assert rep.matched_rows == int((before["ts"] <= cutoff).sum())
+    after = _final(lake)
+    assert (after["ts"] > cutoff).all()
+    pd.testing.assert_frame_equal(
+        after, before[before["ts"] > cutoff].reset_index(drop=True)
+    )
+
+
+def test_delete_refuses_full_without_flag(lake):
+    with pytest.raises(ValueError, match="allow_full"):
+        delete_where(lake)
+    rep = delete_where(lake, allow_full=True)
+    assert rep.matched_rows > 0
+    assert read_final_table(lake).count() == 0
+
+
+def test_delete_then_late_event_resurrects(lake, tmp_path):
+    """A tombstone is a normal LWW participant: a later change event with a
+    newer (ts, lsn) legitimately re-creates the key."""
+    import numpy as np
+    import pyarrow as pa
+
+    before = _final(lake)
+    victim = before.iloc[0]
+    rep = delete_where(lake, conv_id=str(victim["conv_id"]))
+    assert rep.matched_rows > 0
+    assert str(victim["conv_id"]) not in set(_final(lake)["conv_id"])
+
+    new_ts = before["ts"].max().to_datetime64() + np.timedelta64(1, "h")
+    late = pa.table({
+        "lsn": pa.array([rep.tombstone_lsn + 1], pa.int64()),
+        "op": pa.array(["insert"], pa.string()),
+        "conv_id": pa.array([str(victim["conv_id"])], pa.string()),
+        "turn_idx": pa.array([int(victim["turn_idx"])], pa.int32()),
+        "role": pa.array(["user"], pa.string()),
+        "text": pa.array(["back"], pa.string()),
+        "tool": pa.array([None], pa.string()),
+        "ts": pa.array([new_ts], pa.timestamp("us")),
+    })
+    shard_dir = tmp_path / "late"
+    shard_dir.mkdir()
+    pq.write_table(late, str(shard_dir / "s0.parquet"))
+    replay(str(shard_dir), lake, num_buckets=8)
+
+    after = _final(lake)
+    row = after[after["conv_id"] == str(victim["conv_id"])]
+    assert len(row) == 1 and row.iloc[0]["text"] == "back"
+
+
+def test_purge_physical_erasure(lake):
+    before = _final(lake)
+    victim = str(before["conv_id"].iloc[0])
+
+    rep = purge_conv(lake, victim)
+    assert rep.rows_purged > 0
+    assert rep.files_rewritten + rep.files_dropped > 0
+
+    after = _final(lake)
+    pd.testing.assert_frame_equal(
+        after, before[before["conv_id"] != victim].reset_index(drop=True)
+    )
+    # physical: no current-manifest file holds ANY row (incl. tombstones)
+    man = Manifest.load(lake)
+    for b in range(man.num_buckets):
+        for f in man.files_for_bucket(b):
+            t = pq.read_table(
+                os.path.join(lake, f["path"]), columns=["conv_id"]
+            )
+            assert victim not in set(t["conv_id"].to_pylist())
+
+
+def test_purge_prunes_files_on_compacted_lake(lake):
+    compact(lake)
+    man = Manifest.load(lake)
+    total_files = sum(len(man.files_for_bucket(b)) for b in range(man.num_buckets))
+    victim = str(_final(lake)["conv_id"].iloc[0])
+    rep = purge_conv(lake, victim)
+    assert rep.rows_purged > 0
+    # candidate-bucket + range/Bloom pruning: only the key's buckets opened
+    assert rep.buckets_scanned <= man.salt_factor
+    assert rep.files_scanned < total_files
+
+
+def test_purge_then_replay_is_noop(ray_session, tmp_path):
+    """Re-delivering an already-committed binlog cannot resurrect purged
+    data: with no producer disorder the watermark covers every committed
+    LSN, so every old chunk is skipped. (With a disorder bound, the tail
+    above the held-back watermark is legitimately re-appliable — the
+    documented purge-after-horizon caveat.)"""
+    binlog = str(tmp_path / "binlog")
+    spec = BinlogSpec(
+        n_events=3_000, n_convs=30, seed=11, delete_rate=0.05,
+        shuffle_window=0,
+    )
+    write_binlog_shards(spec, binlog, n_shards=3, parallel=False)
+    lake = str(tmp_path / "lake")
+    replay(binlog, lake, num_buckets=4, files_per_chunk=1)
+
+    victim = str(_final(lake)["conv_id"].iloc[0])
+    purge_conv(lake, victim)
+    rep = replay(binlog, lake, num_buckets=4, files_per_chunk=1)
+    assert rep.chunks_applied == 0
+    assert victim not in set(_final(lake)["conv_id"])
+
+
+def test_cdc_delete_where_matches_oracle(ray_session):
+    """Driver-contract pin for the tail entry "cdc_delete_where" (the
+    50-slot window is full): replay → delete_where(conv_range) → final
+    table equals the SQL LWW state minus the range."""
+    import __ray_entry__ as entrymod
+    from util_compare import assert_matches_oracle
+
+    sf = "/root/testdata/sf0.001"
+    q = entrymod.queries()["cdc_delete_where"]
+    sql = entrymod.oracle_sql()["cdc_delete_where"]
+    assert_matches_oracle(q(sf), sql, sf)
+
+
+def test_purge_missing_conv_is_noop(lake):
+    v = Manifest.load(lake).version
+    rep = purge_conv(lake, "no-such-conv")
+    assert rep.rows_purged == 0
+    assert Manifest.load(lake).version == v
