@@ -132,6 +132,29 @@ def main(argv=None) -> int:
     delp.add_argument("--allow-full", action="store_true",
                       help="required to delete with no predicate (truncate)")
 
+    snap_p = sub.add_parser(
+        "snapshot",
+        help="export a CDC-aware snapshot (LWW winners incl. tombstones at "
+             "the watermark cut) — the sound bootstrap input for a new lake",
+    )
+    snap_p.add_argument("lake_dir")
+    snap_p.add_argument("out_dir")
+    snap_p.add_argument("--cut-lsn", type=int, default=None,
+                        help="snapshot log position (default: watermark)")
+
+    boot_p = sub.add_parser(
+        "bootstrap",
+        help="create a NEW lake from a snapshot (plain transcript parquet "
+             "or a CDC-aware `snapshot` export), then continue with replay",
+    )
+    boot_p.add_argument("snapshot")
+    boot_p.add_argument("lake_dir")
+    boot_p.add_argument("--buckets", type=int, default=64)
+    boot_p.add_argument("--hot-key-salt", type=int, default=1)
+    boot_p.add_argument("--cut-lsn", type=int, default=None,
+                        help="log position the snapshot represents "
+                             "(default: its max lsn, or 0 for plain input)")
+
     pup = sub.add_parser(
         "purge",
         help="physically rewrite every file that may hold the conversation "
@@ -390,6 +413,26 @@ def main(argv=None) -> int:
             from .pipelines.retention import purge_conv
 
             print(json.dumps(asdict(purge_conv(args.lake_dir, args.conv_id))))
+        elif args.cmd == "snapshot":
+            from .pipelines.bootstrap import export_snapshot
+
+            cut = export_snapshot(
+                args.lake_dir, args.out_dir, cut_lsn=args.cut_lsn
+            )
+            print(json.dumps({"out": args.out_dir, "cut_lsn": cut}))
+        elif args.cmd == "bootstrap":
+            from dataclasses import asdict
+
+            from .pipelines.bootstrap import bootstrap_lake
+
+            rep = bootstrap_lake(
+                args.snapshot,
+                args.lake_dir,
+                num_buckets=args.buckets,
+                hot_key_salt=args.hot_key_salt,
+                cut_lsn=args.cut_lsn,
+            )
+            print(json.dumps(asdict(rep)))
         elif args.cmd == "changes":
             from .sources.writers import write_csv, write_json, write_parquet
             from .stages.merge import read_change_feed

@@ -332,6 +332,45 @@ SELECT * FROM final WHERE conv_id < 'c3' OR conv_id > 'c5'
 """
 
 
+def q_cdc_bootstrap_handoff(sf_dir: str):
+    """Snapshot → streaming handoff (pipelines/bootstrap.py): replay the
+    first half of the derived binlog into a staging lake, export its
+    CDC-aware snapshot (winners incl. tombstones at the watermark cut),
+    bootstrap a FRESH lake from the snapshot (different bucket count —
+    re-partitioning is allowed), then replay the FULL binlog into it.
+    Pre-cut chunks are watermark-skipped, straddling rows stale-filtered.
+    Oracle: the from-scratch full-replay final state (SQL_FINAL) — the
+    handoff must be observationally equivalent to never having
+    bootstrapped at all."""
+    from ..pipelines.bootstrap import bootstrap_lake, export_snapshot
+    from ..pipelines.replay import replay
+    from ..stages.merge import read_final_table
+    from ..schema import TRANSCRIPT_SCHEMA
+
+    work = tempfile.mkdtemp(prefix="cdc_bootstrap_", dir="/tmp")
+    binlog_dir = os.path.join(work, "binlog")
+    derived_binlog_ds(sf_dir).write_parquet(binlog_dir)
+    shards = sorted(
+        os.path.join(binlog_dir, f)
+        for f in os.listdir(binlog_dir)
+        if f.endswith(".parquet")
+    )
+    staging = os.path.join(work, "staging")
+    replay(shards[: max(1, len(shards) // 2)], staging, num_buckets=16)
+    snap = os.path.join(work, "snapshot")
+    export_snapshot(staging, snap)
+    lake = os.path.join(work, "lake")
+    bootstrap_lake(snap, lake, num_buckets=8)
+    replay(binlog_dir, lake, num_buckets=8)
+    final = read_final_table(lake)
+    table = pa.concat_tables(
+        list(final.iter_batches(batch_format="pyarrow"))
+        or [TRANSCRIPT_SCHEMA.empty_table()]
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return table
+
+
 def _events_lsn_bounds(sf_dir: str) -> tuple[int, int]:
     """(min, max) of events.event_id (= binlog lsn) from parquet row-group
     statistics — O(row groups) driver I/O."""
@@ -603,6 +642,7 @@ QUERIES = {
     "cdc_final_conv_filter": q_cdc_final_conv_filter,
     "cdc_final_ts_filter": q_cdc_final_ts_filter,
     "cdc_delete_where": q_cdc_delete_where,
+    "cdc_bootstrap_handoff": q_cdc_bootstrap_handoff,
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_replica_final": q_cdc_replica_final,
     "mv_conv_stats": q_mv_conv_stats,
@@ -618,6 +658,7 @@ ORACLE_SQL = {
     "cdc_final_conv_filter": SQL_FINAL_CONV_FILTER,
     "cdc_final_ts_filter": SQL_FINAL_TS_FILTER,
     "cdc_delete_where": SQL_DELETE_WHERE,
+    "cdc_bootstrap_handoff": SQL_FINAL,
     "cdc_change_feed": SQL_CHANGE_FEED,
     "cdc_replica_final": SQL_FINAL,
     "mv_conv_stats": SQL_MV_CONV_STATS,

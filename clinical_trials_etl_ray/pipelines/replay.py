@@ -138,15 +138,35 @@ def plan_chunks(
 def producer_disorder_bound(binlog) -> int | None:
     """The producer-published out-of-order bound, if the binlog directory
     carries a ``_meta.json`` sidecar (synth.write_binlog_shards writes one).
-    None when no sidecar exists."""
+    None when no sidecar exists.
+
+    Accepts either the binlog directory or an explicit shard list — for a
+    list, the sidecar is looked up in the shards' parent directories. This
+    matters for PARTIAL replays (e.g. the snapshot-bootstrap handoff):
+    silently falling back to bound 0 would over-advance the commit
+    watermark past undelivered stragglers, stale-dropping them on the
+    later full replay."""
     import json
 
+    dirs: list[str] = []
     if isinstance(binlog, str):
-        p = os.path.join(binlog, "_meta.json")
+        dirs = [binlog]
+    else:
+        seen: set[str] = set()
+        for shard in binlog:
+            d = os.path.dirname(str(shard))
+            if d not in seen:
+                seen.add(d)
+                dirs.append(d)
+    bounds = []
+    for d in dirs:
+        p = os.path.join(d, "_meta.json")
         if os.path.exists(p):
             with open(p) as f:
-                return int(json.load(f).get("disorder_bound", 0))
-    return None
+                bounds.append(int(json.load(f).get("disorder_bound", 0)))
+    # mixed-source shard lists: the loosest published bound is the only
+    # sound one for the combined stream
+    return max(bounds) if bounds else None
 
 
 def detect_hot_key_salt(
