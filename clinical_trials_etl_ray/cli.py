@@ -132,6 +132,17 @@ def main(argv=None) -> int:
     delp.add_argument("--allow-full", action="store_true",
                       help="required to delete with no predicate (truncate)")
 
+    upp = sub.add_parser(
+        "upsert",
+        help="apply an out-of-band correction/backfill parquet (no lsn "
+             "column; engine allocates one above all committed rows; an "
+             "op column may mix updates and deletes) — the MERGE INTO",
+    )
+    upp.add_argument("lake_dir")
+    upp.add_argument("table", help="transcript-shaped parquet file or dir")
+    upp.add_argument("--op-default", default="update",
+                     choices=["insert", "update", "delete"])
+
     snap_p = sub.add_parser(
         "snapshot",
         help="export a CDC-aware snapshot (LWW winners incl. tombstones at "
@@ -413,6 +424,15 @@ def main(argv=None) -> int:
             from .pipelines.retention import purge_conv
 
             print(json.dumps(asdict(purge_conv(args.lake_dir, args.conv_id))))
+        elif args.cmd == "upsert":
+            from dataclasses import asdict
+
+            from .pipelines.retention import upsert_table
+
+            rep = upsert_table(
+                args.lake_dir, args.table, op_default=args.op_default
+            )
+            print(json.dumps(asdict(rep)))
         elif args.cmd == "snapshot":
             from .pipelines.bootstrap import export_snapshot
 

@@ -332,6 +332,50 @@ SELECT * FROM final WHERE conv_id < 'c3' OR conv_id > 'c5'
 """
 
 
+def q_cdc_upsert_corrections(sf_dir: str):
+    """Out-of-band correction batch (pipelines/retention.upsert_table —
+    the lake's MERGE INTO): replay, then rewrite conversation c7's text to
+    'corrected:'||role via a point-lookup-pruned read of its current
+    winners (same ts ⇒ the engine-allocated LSN above every committed row
+    decides), one shuffle-free upsert commit, read the final table.
+    Oracle: SQL_FINAL with the same CASE rewrite."""
+    from ..pipelines.retention import upsert_table
+    from ..pipelines.replay import replay
+    from ..stages.merge import read_final_table
+    from ..schema import TRANSCRIPT_SCHEMA
+
+    work = tempfile.mkdtemp(prefix="cdc_upsert_", dir="/tmp")
+    binlog_dir = os.path.join(work, "binlog")
+    lake_dir = os.path.join(work, "lake")
+    derived_binlog_ds(sf_dir).write_parquet(binlog_dir)
+    replay(binlog_dir, lake_dir, num_buckets=16, files_per_chunk=4)
+
+    def fix(t: pa.Table) -> pa.Table:
+        fixed = pc.binary_join_element_wise("corrected:", t["role"], "")
+        return t.set_column(t.column_names.index("text"), "text", fixed)
+
+    corr = read_final_table(lake_dir, conv_id="c7").map_batches(
+        fix, batch_format="pyarrow"
+    )
+    upsert_table(lake_dir, corr)
+    final = read_final_table(lake_dir)
+    table = pa.concat_tables(
+        list(final.iter_batches(batch_format="pyarrow"))
+        or [TRANSCRIPT_SCHEMA.empty_table()]
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return table
+
+
+SQL_UPSERT_CORRECTIONS = f"""
+WITH final AS ({SQL_FINAL})
+SELECT conv_id, turn_idx, role,
+       CASE WHEN conv_id = 'c7' THEN 'corrected:' || role ELSE text END AS text,
+       tool, ts
+FROM final
+"""
+
+
 def q_cdc_bootstrap_handoff(sf_dir: str):
     """Snapshot → streaming handoff (pipelines/bootstrap.py): replay the
     first half of the derived binlog into a staging lake, export its
@@ -643,6 +687,7 @@ QUERIES = {
     "cdc_final_ts_filter": q_cdc_final_ts_filter,
     "cdc_delete_where": q_cdc_delete_where,
     "cdc_bootstrap_handoff": q_cdc_bootstrap_handoff,
+    "cdc_upsert_corrections": q_cdc_upsert_corrections,
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_replica_final": q_cdc_replica_final,
     "mv_conv_stats": q_mv_conv_stats,
@@ -659,6 +704,7 @@ ORACLE_SQL = {
     "cdc_final_ts_filter": SQL_FINAL_TS_FILTER,
     "cdc_delete_where": SQL_DELETE_WHERE,
     "cdc_bootstrap_handoff": SQL_FINAL,
+    "cdc_upsert_corrections": SQL_UPSERT_CORRECTIONS,
     "cdc_change_feed": SQL_CHANGE_FEED,
     "cdc_replica_final": SQL_FINAL,
     "mv_conv_stats": SQL_MV_CONV_STATS,

@@ -85,6 +85,88 @@ def _tombstones(batch: pa.Table, lsn: int) -> pa.Table:
     )
 
 
+def _next_oob_lsn(man: Manifest) -> int:
+    """First LSN above every committed ROW — not just above the watermark:
+    with a producer disorder bound the commit watermark is held back, so
+    committed rows can carry higher LSNs and would otherwise outrank an
+    out-of-band write. Manifest per-file max_lsn gives this without opening
+    any file."""
+    mx = man.global_watermark()
+    for b in range(man.num_buckets):
+        for f in man.files_for_bucket(b):
+            if f.get("max_lsn") is not None:
+                mx = max(mx, int(f["max_lsn"]))
+    return mx + 1
+
+
+def _write_and_commit(
+    lake_dir: str,
+    man: Manifest,
+    ds,
+    metrics: dict,
+    target_schema: pa.Schema | None = None,
+):
+    """Shared out-of-band write tail: prep → direct delta writer → one
+    atomic commit that does NOT advance the watermark (advancing past
+    undelivered producer LSNs would silently stale-drop them; out-of-band
+    rows participate in LWW purely through their (ts, lsn) rank).
+    ``target_schema``: pass when the write may carry evolved columns (it is
+    recorded in the commit like replay does). Returns
+    (rows_written, files_written, manifest_or_None)."""
+    from ..stages.merge import make_direct_delta_writer, prep_batch
+
+    ds = ds.map_batches(
+        prep_batch,
+        batch_format="pyarrow",
+        fn_kwargs={
+            "num_buckets": man.num_buckets,
+            "min_lsn_exclusive": -1,
+            "salt_factor": man.salt_factor,
+            "target_schema": target_schema,
+        },
+    )
+    writer = make_direct_delta_writer(lake_dir, man.watermarks())
+    stats = ds.map_batches(writer, batch_format="pyarrow").take_all()
+
+    # JSON-safe fileinfo rows (take_all yields numpy scalars)
+    new_files = [
+        {
+            "bucket": int(r["bucket"]),
+            "path": r["path"],
+            "kind": r["kind"],
+            "content_hash": r["content_hash"],
+            "row_count": int(r["row_count"]),
+            "min_lsn": int(r["min_lsn"]),
+            "max_lsn": int(r["max_lsn"]),
+            "conv_min": r.get("conv_min"),
+            "conv_max": r.get("conv_max"),
+            "ts_us_min": int(r["ts_us_min"]) if r.get("ts_us_min") is not None else None,
+            "ts_us_max": int(r["ts_us_max"]) if r.get("ts_us_max") is not None else None,
+            "conv_bloom": r.get("conv_bloom"),
+        }
+        for r in stats
+        if r["kind"] != "noop"
+    ]
+    rows = sum(f["row_count"] for f in new_files)
+    if not new_files:
+        return 0, 0, None
+    schema_kwargs = {}
+    if target_schema is not None:
+        from ..schema import schema_to_b64
+
+        schema_kwargs = {
+            "schema_names": list(target_schema.names),
+            "schema_ipc": schema_to_b64(target_schema),
+        }
+    nxt = man.commit(
+        new_files,
+        new_watermark_lsn=man.global_watermark(),
+        metrics=metrics,
+        **schema_kwargs,
+    )
+    return rows, len(new_files), nxt
+
+
 def delete_where(
     lake_dir: str,
     conv_id: str | None = None,
@@ -128,17 +210,7 @@ def delete_where(
             )
 
     man = Manifest.load(lake_dir)
-    # The tombstone takes the first LSN above every committed ROW — not
-    # just above the watermark: with a producer disorder bound the commit
-    # watermark is held back, so committed rows can carry higher LSNs and
-    # would otherwise outrank the tombstone. Manifest per-file max_lsn
-    # gives this without opening any file.
-    max_committed = man.global_watermark()
-    for b in range(man.num_buckets):
-        for f in man.files_for_bucket(b):
-            if f.get("max_lsn") is not None:
-                max_committed = max(max_committed, int(f["max_lsn"]))
-    tombstone_lsn = max_committed + 1
+    tombstone_lsn = _next_oob_lsn(man)
     report = DeleteReport(tombstone_lsn=tombstone_lsn, dry_run=dry_run)
 
     matched = read_final_table(
@@ -157,49 +229,10 @@ def delete_where(
     ds = matched.map_batches(
         _tombstones, batch_format="pyarrow", fn_kwargs={"lsn": tombstone_lsn}
     )
-    ds = ds.map_batches(
-        prep_batch,
-        batch_format="pyarrow",
-        fn_kwargs={
-            "num_buckets": man.num_buckets,
-            "min_lsn_exclusive": -1,
-            "salt_factor": man.salt_factor,
-        },
-    )
-    writer = make_direct_delta_writer(lake_dir, man.watermarks())
-    stats = ds.map_batches(writer, batch_format="pyarrow").take_all()
-
-    # JSON-safe fileinfo rows (take_all yields numpy scalars)
-    new_files = [
-        {
-            "bucket": int(r["bucket"]),
-            "path": r["path"],
-            "kind": r["kind"],
-            "content_hash": r["content_hash"],
-            "row_count": int(r["row_count"]),
-            "min_lsn": int(r["min_lsn"]),
-            "max_lsn": int(r["max_lsn"]),
-            "conv_min": r.get("conv_min"),
-            "conv_max": r.get("conv_max"),
-            "ts_us_min": int(r["ts_us_min"]) if r.get("ts_us_min") is not None else None,
-            "ts_us_max": int(r["ts_us_max"]) if r.get("ts_us_max") is not None else None,
-            "conv_bloom": r.get("conv_bloom"),
-        }
-        for r in stats
-        if r["kind"] != "noop"
-    ]
-    report.matched_rows = sum(f["row_count"] for f in new_files)
-    report.files_written = len(new_files)
-    if not new_files:
-        report.final_version = man.version
-        return report
-
-    # The watermark does NOT advance to the tombstone LSN: advancing past
-    # undelivered producer LSNs would silently drop them as stale. The
-    # tombstone participates in LWW purely through its (ts, lsn) rank.
-    man = man.commit(
-        new_files,
-        new_watermark_lsn=man.global_watermark(),
+    rows, nfiles, nxt = _write_and_commit(
+        lake_dir,
+        man,
+        ds,
         metrics={
             "delete_where": {
                 "conv_id": conv_id,
@@ -207,10 +240,90 @@ def delete_where(
                 "ts_min": str(ts_min) if ts_min is not None else None,
                 "ts_max": str(ts_max) if ts_max is not None else None,
             },
-            "tombstones": report.matched_rows,
         },
     )
-    report.final_version = man.version
+    report.matched_rows = rows
+    report.files_written = nfiles
+    report.final_version = (nxt or man).version
+    return report
+
+
+@dataclass
+class UpsertReport:
+    rows_applied: int = 0
+    files_written: int = 0
+    upsert_lsn: int = -1
+    final_version: int | None = None
+
+
+def upsert_table(lake_dir: str, table, op_default: str = "update") -> UpsertReport:
+    """Apply an out-of-band correction/backfill batch — the MERGE INTO of
+    the lake. ``table`` is transcript-shaped (a Parquet path/dir, a
+    ``ray.data.Dataset``, or a ``pyarrow.Table``) WITHOUT an ``lsn``
+    column: every row gets the first LSN above all committed rows and
+    ``op_default`` (an ``op`` column in the input overrides it per row, so
+    a correction batch can mix updates and deletes).
+
+    LWW semantics are unchanged: a correction wins against the current
+    winner iff its ``(ts, lsn)`` ranks higher — with the allocated LSN
+    above everything, that means whenever its event time ``ts`` is at or
+    after the winner's. To override a row unconditionally, set its ``ts``
+    to the current value (e.g. from ``read_final_table``); a correction
+    carrying an older event time losing to newer data is the intended
+    out-of-order protection, not a failure.
+
+    Same scale/exactly-once shape as ``delete_where``: one shuffle-free
+    ``map_batches`` pass through the ingest prep → delta-writer → one
+    atomic commit; the watermark does not advance. Streams keep flowing:
+    a later producer event with a newer ``(ts, lsn)`` updates the
+    corrected row as usual."""
+    import ray.data
+
+    man = Manifest.load(lake_dir)
+    lsn = _next_oob_lsn(man)
+    report = UpsertReport(upsert_lsn=lsn)
+
+    if isinstance(table, pa.Table):
+        ds = ray.data.from_arrow(table)
+        in_schema = table.schema
+    elif isinstance(table, str):
+        ds = ray.data.read_parquet(table)
+        in_schema = ds.schema().base_schema
+    else:
+        ds = table
+        in_schema = ds.schema().base_schema
+
+    # additive evolution: correction columns beyond the committed schema
+    # join it (same union rule as replay); committed columns the batch
+    # lacks are null-filled by prep
+    from ..schema import schema_from_b64, union_event_schema
+
+    prior = [schema_from_b64(man.schema_ipc)] if man.schema_ipc else []
+    target_schema = union_event_schema(prior + [in_schema])
+
+    if "lsn" in in_schema.names:
+        raise ValueError(
+            "upsert_table input must not carry an lsn column — LSNs are "
+            "allocated by the engine (use replay() for real change-log data)"
+        )
+
+    def to_events(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if "op" not in t.column_names:
+            t = t.append_column("op", pa.array([op_default] * n, pa.string()))
+        return t.append_column("lsn", pa.array([lsn] * n, pa.int64()))
+
+    ds = ds.map_batches(to_events, batch_format="pyarrow")
+    rows, nfiles, nxt = _write_and_commit(
+        lake_dir,
+        man,
+        ds,
+        metrics={"upsert_table": {"lsn": lsn}},
+        target_schema=target_schema,
+    )
+    report.rows_applied = rows
+    report.files_written = nfiles
+    report.final_version = (nxt or man).version
     return report
 
 

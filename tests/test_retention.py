@@ -9,7 +9,11 @@ import pyarrow.parquet as pq
 import pytest
 
 from clinical_trials_etl_ray.pipelines.replay import compact, replay
-from clinical_trials_etl_ray.pipelines.retention import delete_where, purge_conv
+from clinical_trials_etl_ray.pipelines.retention import (
+    delete_where,
+    purge_conv,
+    upsert_table,
+)
 from clinical_trials_etl_ray.stages.merge import read_final_table
 from clinical_trials_etl_ray.state.manifest import Manifest
 from clinical_trials_etl_ray.synth import BinlogSpec, write_binlog_shards
@@ -184,6 +188,19 @@ def test_purge_then_replay_is_noop(ray_session, tmp_path):
     assert victim not in set(_final(lake)["conv_id"])
 
 
+def test_cdc_upsert_corrections_matches_oracle(ray_session):
+    """Driver-contract pin for the tail entry "cdc_upsert_corrections"
+    (the 50-slot window is full): replay → rewrite c7's text via
+    upsert_table → final equals SQL_FINAL with the same CASE rewrite."""
+    import __ray_entry__ as entrymod
+    from util_compare import assert_matches_oracle
+
+    sf = "/root/testdata/sf0.001"
+    q = entrymod.queries()["cdc_upsert_corrections"]
+    sql = entrymod.oracle_sql()["cdc_upsert_corrections"]
+    assert_matches_oracle(q(sf), sql, sf)
+
+
 def test_cdc_delete_where_matches_oracle(ray_session):
     """Driver-contract pin for the tail entry "cdc_delete_where" (the
     50-slot window is full): replay → delete_where(conv_range) → final
@@ -195,6 +212,93 @@ def test_cdc_delete_where_matches_oracle(ray_session):
     q = entrymod.queries()["cdc_delete_where"]
     sql = entrymod.oracle_sql()["cdc_delete_where"]
     assert_matches_oracle(q(sf), sql, sf)
+
+
+def test_upsert_table_corrections(lake):
+    """A correction batch built from the current winners (same ts, engine
+    LSN above everything) overrides text; an op column mixes in deletes;
+    an older-ts correction loses (out-of-order protection)."""
+    import pyarrow as pa
+
+    before = _final(lake)
+    victims = before.head(3)
+    corr = pa.table({
+        "conv_id": pa.array(victims["conv_id"].tolist(), pa.string()),
+        "turn_idx": pa.array(victims["turn_idx"].tolist(), pa.int32()),
+        "role": pa.array(victims["role"].tolist(), pa.string()),
+        "text": pa.array(["fixed"] * 3, pa.string()),
+        "tool": pa.array([None] * 3, pa.string()),
+        "ts": pa.array(victims["ts"].dt.to_pydatetime(), pa.timestamp("us")),
+        "op": pa.array(["update", "update", "delete"], pa.string()),
+    })
+    rep = upsert_table(lake, corr)
+    assert rep.rows_applied == 3 and rep.upsert_lsn > 0
+
+    after = _final(lake)
+    keymap = dict(zip(zip(after["conv_id"], after["turn_idx"]), after["text"]))
+    k0 = (victims.iloc[0]["conv_id"], victims.iloc[0]["turn_idx"])
+    k1 = (victims.iloc[1]["conv_id"], victims.iloc[1]["turn_idx"])
+    k2 = (victims.iloc[2]["conv_id"], victims.iloc[2]["turn_idx"])
+    assert keymap[k0] == "fixed" and keymap[k1] == "fixed"
+    assert k2 not in keymap  # the delete row
+    assert len(after) == len(before) - 1
+
+    # an older-event-time correction loses to the current winner
+    import numpy as np
+
+    old = pa.table({
+        "conv_id": pa.array([k0[0]], pa.string()),
+        "turn_idx": pa.array([int(k0[1])], pa.int32()),
+        "role": pa.array(["user"], pa.string()),
+        "text": pa.array(["stale correction"], pa.string()),
+        "tool": pa.array([None], pa.string()),
+        "ts": pa.array(
+            [victims.iloc[0]["ts"].to_datetime64() - np.timedelta64(1, "D")],
+            pa.timestamp("us"),
+        ),
+    })
+    upsert_table(lake, old)
+    after2 = _final(lake)
+    got = after2[(after2["conv_id"] == k0[0]) & (after2["turn_idx"] == k0[1])]
+    assert got.iloc[0]["text"] == "fixed"
+
+
+def test_upsert_table_evolved_column(lake):
+    """Correction columns beyond the committed schema evolve it
+    additively and survive the read path."""
+    import pyarrow as pa
+
+    before = _final(lake)
+    v = before.iloc[0]
+    corr = pa.table({
+        "conv_id": pa.array([v["conv_id"]], pa.string()),
+        "turn_idx": pa.array([int(v["turn_idx"])], pa.int32()),
+        "role": pa.array([v["role"]], pa.string()),
+        "text": pa.array([v["text"]], pa.string()),
+        "tool": pa.array([None], pa.string()),
+        "ts": pa.array([v["ts"].to_datetime64()], pa.timestamp("us")),
+        "reviewed_by": pa.array(["qa-team"], pa.string()),
+    })
+    upsert_table(lake, corr)
+    after = _final(lake)
+    assert "reviewed_by" in after.columns
+    hit = after[(after["conv_id"] == v["conv_id"]) & (after["turn_idx"] == v["turn_idx"])]
+    assert hit.iloc[0]["reviewed_by"] == "qa-team"
+    assert after["reviewed_by"].notna().sum() == 1
+
+
+def test_upsert_table_rejects_lsn_column(lake):
+    import numpy as np
+    import pyarrow as pa
+
+    bad = pa.table({
+        "conv_id": pa.array(["x"], pa.string()),
+        "turn_idx": pa.array([0], pa.int32()),
+        "lsn": pa.array([1], pa.int64()),
+        "ts": pa.array([np.datetime64("2024-01-01", "us")], pa.timestamp("us")),
+    })
+    with pytest.raises(ValueError, match="lsn"):
+        upsert_table(lake, bad)
 
 
 def test_purge_missing_conv_is_noop(lake):
