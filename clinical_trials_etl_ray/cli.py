@@ -150,8 +150,12 @@ def main(argv=None) -> int:
     )
     snap_p.add_argument("lake_dir")
     snap_p.add_argument("out_dir")
-    snap_p.add_argument("--cut-lsn", type=int, default=None,
-                        help="snapshot log position (default: watermark)")
+    snap_p.add_argument("--cut-lsn", default=None,
+                        help="snapshot cut: 'stable' (watermark, default — "
+                             "sound under active producers but excludes "
+                             "out-of-band delete/upsert writes), "
+                             "'committed' (full state incl. out-of-band; "
+                             "quiesced producers), or an explicit LSN")
 
     boot_p = sub.add_parser(
         "bootstrap",
@@ -436,8 +440,11 @@ def main(argv=None) -> int:
         elif args.cmd == "snapshot":
             from .pipelines.bootstrap import export_snapshot
 
+            cut_arg = args.cut_lsn
+            if cut_arg is not None and cut_arg not in ("stable", "committed"):
+                cut_arg = int(cut_arg)
             cut = export_snapshot(
-                args.lake_dir, args.out_dir, cut_lsn=args.cut_lsn
+                args.lake_dir, args.out_dir, cut_lsn=cut_arg
             )
             print(json.dumps({"out": args.out_dir, "cut_lsn": cut}))
         elif args.cmd == "bootstrap":

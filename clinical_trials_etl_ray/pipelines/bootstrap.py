@@ -54,24 +54,38 @@ class BootstrapReport:
     final_version: int | None = None
 
 
-def export_snapshot(lake_dir: str, out_dir: str, cut_lsn: int | None = None) -> int:
+def export_snapshot(lake_dir: str, out_dir: str, cut_lsn=None) -> int:
     """Write a CDC-aware snapshot of a lake: the LWW winners INCLUDING
     delete tombstones, with their original ``(lsn, op, ts)`` — the sound
-    bootstrap input under out-of-order producers. ``cut_lsn`` defaults to
-    the lake's committed watermark (the stable cut). Returns the cut LSN.
+    bootstrap input under out-of-order producers. Returns the cut LSN.
+
+    ``cut_lsn`` (same contract as ``sync_replica``):
+      - ``None`` / ``"stable"`` (default): the committed watermark — the
+        only sound horizon while producers are still delivering (a
+        bootstrap sets the new lake's watermark to the cut, so a cut above
+        undelivered LSNs would stale-drop them). NOTE this cut EXCLUDES
+        out-of-band writes (``delete_where`` tombstones, ``upsert_table``
+        corrections), which deliberately take LSNs above the watermark.
+      - ``"committed"``: every committed row (max committed LSN incl.
+        out-of-band writes) — the FULL current state; requires quiesced
+        producers, like any consistent full export.
+      - an int: an explicit LSN cut.
 
     Implemented as the change feed from the beginning of time to the cut
     (``stages.merge.read_change_feed`` with ``since_lsn=-1`` collapses to
     exactly winners-with-tombstones), written as partitioned Parquet —
     shuffle-free, one task per bucket."""
+    from ..pipelines.retention import _next_oob_lsn
     from ..stages.merge import read_change_feed
 
     man = Manifest.load(lake_dir)
-    if cut_lsn is None:
+    if cut_lsn is None or cut_lsn == "stable":
         cut_lsn = man.global_watermark()
-    ds = read_change_feed(lake_dir, since_lsn=-1, until_lsn=cut_lsn)
+    elif cut_lsn == "committed":
+        cut_lsn = _next_oob_lsn(man) - 1
+    ds = read_change_feed(lake_dir, since_lsn=-1, until_lsn=int(cut_lsn))
     ds.write_parquet(out_dir)
-    return cut_lsn
+    return int(cut_lsn)
 
 
 def bootstrap_lake(

@@ -120,6 +120,46 @@ def test_cdc_bootstrap_handoff_matches_oracle(ray_session):
     assert_matches_oracle(q(sf), sql, sf)
 
 
+def test_snapshot_cut_semantics_with_out_of_band_writes(ray_session, tmp_path):
+    """delete_where/upsert_table tombstones take LSNs ABOVE the watermark
+    (deliberately — the watermark must not advance past undelivered
+    producer LSNs). The default 'stable' snapshot cut therefore EXCLUDES
+    them; cut='committed' captures the full current state. Both semantics
+    are pinned here so neither regresses silently."""
+    from clinical_trials_etl_ray.pipelines.retention import delete_where
+
+    binlog = str(tmp_path / "binlog")
+    # shuffle_window=0: the watermark covers every producer LSN, so the
+    # stable cut differs from committed ONLY by the out-of-band writes
+    spec = BinlogSpec(n_events=3_000, n_convs=30, seed=5, delete_rate=0.05,
+                      shuffle_window=0)
+    write_binlog_shards(spec, binlog, n_shards=3, parallel=False)
+    lake = str(tmp_path / "lake")
+    replay(binlog, lake, num_buckets=4, files_per_chunk=1)
+
+    before = _final(lake)
+    in_range = before["conv_id"].between("c1", "c19")
+    assert in_range.any()
+    delete_where(lake, conv_range=("c1", "c19"))
+    after = _final(lake)
+
+    # committed cut: bootstrap state == post-delete state
+    snap_c = str(tmp_path / "snap_committed")
+    export_snapshot(lake, snap_c, cut_lsn="committed")
+    lake_c = str(tmp_path / "lake_c")
+    bootstrap_lake(snap_c, lake_c, num_buckets=2)
+    pd.testing.assert_frame_equal(_final(lake_c), after)
+
+    # stable (default) cut: excludes the out-of-band tombstones — the
+    # documented active-producer trade-off
+    snap_s = str(tmp_path / "snap_stable")
+    export_snapshot(lake, snap_s)
+    lake_s = str(tmp_path / "lake_s")
+    bootstrap_lake(snap_s, lake_s, num_buckets=2)
+    got_s = _final(lake_s)
+    assert len(got_s) == len(before)  # deletions not in the stable cut
+
+
 def test_bootstrap_refuses_existing_lake(ray_session, tmp_path):
     corpus = pa.table({
         "conv_id": pa.array(["a"], pa.string()),
