@@ -40,9 +40,7 @@ import os
 from dataclasses import dataclass
 
 import pyarrow as pa
-import pyarrow.compute as pc
 
-from ..schema import EVENT_SCHEMA
 from ..state.manifest import Manifest
 
 

@@ -298,13 +298,20 @@ def refresh_matview(
     if not todo:
         return report
 
+    # projection pushdown: the view is a pure function of its key + agg
+    # columns, so only those (plus the always-read LWW key columns) are
+    # decoded from Parquet — at transcript scale a non-text view skips
+    # ~all payload I/O (stages/merge.resolve_bucket columns=…)
+    view_cols = sorted({spec.key} | {a.col for a in spec.aggs if a.col})
+
     @ray.remote
     def _recompute(bucket: int, files: list):
         from ..functions.hashing import content_hash
         from ..schema import schema_to_b64
 
         agg = view_partials(
-            live_rows(resolve_bucket(lake_dir, bucket, files)), spec
+            live_rows(resolve_bucket(lake_dir, bucket, files, columns=view_cols)),
+            spec,
         )
         if agg is None or agg.num_rows == 0:
             return bucket, None, None
