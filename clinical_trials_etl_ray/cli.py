@@ -73,6 +73,10 @@ def main(argv=None) -> int:
                          "synced to each round's new stable watermark "
                          "(seal with 'sync --cut committed' once the "
                          "producer quiesces)")
+    rp.add_argument("--compact-min-files", type=int, default=None,
+                    help="(--follow) minor-compact buckets holding at "
+                         "least this many delta files after each ingesting "
+                         "round — steady-state read fan-in control")
 
     cp = sub.add_parser("compact")
     cp.add_argument("lake_dir")
@@ -345,7 +349,8 @@ def main(argv=None) -> int:
                            poll_interval_s=args.poll_interval,
                            idle_rounds=args.idle_rounds,
                            matview_dir=args.matview_dir,
-                           replica_dir=args.replica_dir, **kw)
+                           replica_dir=args.replica_dir,
+                           compact_min_files=args.compact_min_files, **kw)
             else:
                 r = replay(args.binlog_dir, args.lake_dir, **kw)
             print(json.dumps(r.__dict__))

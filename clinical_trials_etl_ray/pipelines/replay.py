@@ -428,6 +428,7 @@ def follow(
     max_rounds: int | None = None,
     matview_dir: str | None = None,
     replica_dir: str | None = None,
+    compact_min_files: int | None = None,
     **replay_kwargs,
 ) -> ReplayReport:
     """Tail a growing binlog directory: repeatedly replay (committed chunks
@@ -450,6 +451,15 @@ def follow(
     round's data)). The replica trails the source by at most the disorder
     bound while following; run one ``sync_replica(cut="committed")`` after
     the producer quiesces to seal it.
+
+    ``compact_min_files``: run a MINOR compaction (delta-only fold, base
+    untouched — O(data since last compaction), sound by LWW associativity)
+    after every round that ingested data, folding each bucket holding at
+    least this many delta files. This is the steady-state maintenance
+    cadence under continuous ingest: direct-mode replay writes one delta
+    per (task, bucket) per chunk, so without folding, read fan-in grows
+    linearly with rounds; with it, fan-in stays O(compact_min_files) per
+    bucket while each fold touches only the new deltas.
     """
     import time as _time
     import warnings
@@ -497,6 +507,11 @@ def follow(
             total.stale_skipped += r.stale_skipped
             total.delta_rows_written += r.delta_rows_written
             total.final_version = r.final_version
+            if compact_min_files is not None and r.chunks_applied:
+                # compact BEFORE the matview refresh so the view's bucket
+                # fingerprints record the folded file lists (otherwise the
+                # fold would trigger a second, redundant refresh next round)
+                compact(lake_dir, mode="minor", min_files=compact_min_files)
             if matview_dir is not None and r.chunks_applied:
                 from ..stages.matview import refresh_matview
 
