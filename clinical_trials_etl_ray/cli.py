@@ -117,6 +117,21 @@ def main(argv=None) -> int:
                          "(projection pushdown: other columns are never "
                          "decoded from parquet; keys always included)")
 
+    dfp = sub.add_parser(
+        "diff",
+        help="audit diff between two committed versions: the change rows "
+             "(incl. out-of-band writes and op='purge' for physical "
+             "erasure) that turn v-old's state into v-new's; untouched "
+             "buckets fingerprint-skip without I/O",
+    )
+    dfp.add_argument("lake_dir")
+    dfp.add_argument("out_dir")
+    dfp.add_argument("--v-old", type=int, required=True)
+    dfp.add_argument("--v-new", type=int, default=None,
+                     help="default: current version")
+    dfp.add_argument("--format", choices=["parquet", "csv", "json"],
+                     default="parquet")
+
     delp = sub.add_parser(
         "delete",
         help="predicate delete: tombstone every live row matching the "
@@ -398,6 +413,15 @@ def main(argv=None) -> int:
                     else None
                 ),
             )
+            {"parquet": write_parquet, "csv": write_csv, "json": write_json}[
+                args.format
+            ](ds, args.out_dir)
+            print(json.dumps({"out": args.out_dir}))
+        elif args.cmd == "diff":
+            from .sources.writers import write_csv, write_json, write_parquet
+            from .stages.merge import diff_versions
+
+            ds = diff_versions(args.lake_dir, args.v_old, args.v_new)
             {"parquet": write_parquet, "csv": write_csv, "json": write_json}[
                 args.format
             ](ds, args.out_dir)
