@@ -181,6 +181,9 @@ def run_plain() -> dict:
             return not (
                 "object store is configured" in msg
                 or "Truncating long operator name" in msg
+                # benign block-schema drift notes: stats rows vs empty
+                # blocks in grouped-aggregate tails (results oracle-green)
+                or "produced a RefBundle with a different schema" in msg
             )
 
     logging.getLogger("ray.data").addFilter(_BenchNoise())
