@@ -184,6 +184,9 @@ def run_plain() -> dict:
                 # benign block-schema drift notes: stats rows vs empty
                 # blocks in grouped-aggregate tails (results oracle-green)
                 or "produced a RefBundle with a different schema" in msg
+                # Ray-internal schema-set dedup falling back to full
+                # unification (transform_pyarrow.py) — cosmetic
+                or "Failed to hash the schemas" in msg
             )
 
     logging.getLogger("ray.data").addFilter(_BenchNoise())
