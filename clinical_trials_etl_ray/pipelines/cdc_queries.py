@@ -376,6 +376,27 @@ FROM final
 """
 
 
+def q_heavy_hitter_convs(sf_dir: str):
+    """Exact phi-heavy conversations of the change log WITHOUT a global
+    groupby (stages/sketch.heavy_hitters): a Misra-Gries candidate sketch
+    pass (tiny mergeable partials, guaranteed no false negatives at
+    k >= phi_denom) + an exact recount of candidates only — the 10^10-event
+    shape for "which conversations dominate the log". phi = 1/200 (0.5%).
+    Oracle: plain GROUP BY ... HAVING with the same integer threshold."""
+    from ..stages.sketch import heavy_hitters
+
+    return heavy_hitters(derived_binlog_ds(sf_dir), "conv_id", phi_denom=200)
+
+
+SQL_HEAVY_HITTER_CONVS = f"""
+WITH binlog AS ({BINLOG_CTE})
+SELECT conv_id AS key, COUNT(*) AS n
+FROM binlog
+GROUP BY conv_id
+HAVING COUNT(*) * 200 >= (SELECT COUNT(*) FROM binlog)
+"""
+
+
 def q_cdc_bootstrap_handoff(sf_dir: str):
     """Snapshot → streaming handoff (pipelines/bootstrap.py): replay the
     first half of the derived binlog into a staging lake, export its
@@ -688,6 +709,7 @@ QUERIES = {
     "cdc_delete_where": q_cdc_delete_where,
     "cdc_bootstrap_handoff": q_cdc_bootstrap_handoff,
     "cdc_upsert_corrections": q_cdc_upsert_corrections,
+    "heavy_hitter_convs": q_heavy_hitter_convs,
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_replica_final": q_cdc_replica_final,
     "mv_conv_stats": q_mv_conv_stats,
@@ -705,6 +727,7 @@ ORACLE_SQL = {
     "cdc_delete_where": SQL_DELETE_WHERE,
     "cdc_bootstrap_handoff": SQL_FINAL,
     "cdc_upsert_corrections": SQL_UPSERT_CORRECTIONS,
+    "heavy_hitter_convs": SQL_HEAVY_HITTER_CONVS,
     "cdc_change_feed": SQL_CHANGE_FEED,
     "cdc_replica_final": SQL_FINAL,
     "mv_conv_stats": SQL_MV_CONV_STATS,

@@ -128,3 +128,125 @@ def approx_distinct_by(ds, key: str, col: str, p: int = 12):
         )
 
     return parts.groupby(key).map_groups(merge_group, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mergeable summaries)
+# ---------------------------------------------------------------------------
+
+
+def mg_compress(keys: np.ndarray, counts: np.ndarray, k: int):
+    """Compress exact (key, count) pairs to a Misra-Gries summary of at
+    most ``k`` counters: subtract the (k+1)-th largest count from every
+    counter and drop the non-positive remainder. Classic guarantee: every
+    key with true frequency > n/(k+1) keeps a positive counter, and each
+    kept counter underestimates its key's true count by at most n/(k+1).
+    Vectorized (argpartition, no Python loop over keys)."""
+    if len(keys) <= k:
+        return keys, counts
+    # (k+1)-th largest = threshold to subtract
+    thresh = np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
+    kept = counts - thresh
+    pos = kept > 0
+    return keys[pos], kept[pos]
+
+
+def mg_merge(parts: list, k: int):
+    """Merge MG summaries (Agarwal et al., 'Mergeable Summaries'): sum
+    counters per key, then compress back to k. Associative and
+    order-insensitive up to the standard MG error bound; the candidate
+    GUARANTEE (every phi-heavy key survives with k >= 1/phi) is preserved
+    by merging."""
+    if not parts:
+        return np.array([], dtype=object), np.array([], dtype=np.int64)
+    keys = np.concatenate([p[0] for p in parts])
+    counts = np.concatenate([p[1] for p in parts])
+    uk, inv = np.unique(keys.astype(str), return_inverse=True)
+    sums = np.zeros(len(uk), dtype=np.int64)
+    np.add.at(sums, inv, counts)
+    return mg_compress(uk, sums, k)
+
+
+def heavy_hitters(ds, col: str, phi_denom: int, k: int | None = None):
+    """Exact phi-heavy hitters of ``ds[col]`` (keys with count*phi_denom
+    >= total) in two shuffle-free passes — the 10-TB shape for "which
+    conversations dominate the log" without a full groupby:
+
+      1. sketch pass: per-batch exact value counts compressed to a k-counter
+         Misra-Gries partial (tiny, independent of batch size); driver
+         merges the partials. With k >= phi_denom every true heavy hitter
+         is guaranteed a surviving counter (no false negatives), so the
+         merged summary's keys are a complete CANDIDATE set.
+      2. verify pass: exact counts for candidates only — `is_in` filter +
+         per-batch value-count partials, combined on the driver (bounded by
+         #candidates <= k rows per batch), plus the exact total row count.
+
+    Returns a pyarrow Table (key, n) of the TRUE heavy hitters with EXACT
+    counts, sorted by (n desc, key) — deterministic at any parallelism.
+    """
+    if k is None:
+        k = 2 * phi_denom
+    if k < phi_denom:
+        raise ValueError("k must be >= phi_denom for the candidate guarantee")
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t.column(col).cast(pa.string()).to_numpy(zero_copy_only=False)
+        uk, cnt = np.unique(vals, return_counts=True)
+        uk, cnt = mg_compress(uk, cnt.astype(np.int64), k)
+        # a null-key sentinel row always carries the batch's TRUE row count
+        # — a summary that compressed to zero counters must still
+        # contribute to the total, or the exact phi threshold drifts
+        keys_out = np.concatenate([uk.astype(object), [None]])
+        return pa.table({
+            "key": pa.array(keys_out, pa.string()),
+            "cnt": pa.array(np.concatenate([cnt, [0]]), pa.int64()),
+            "n_rows": pa.array(
+                [0] * len(uk) + [len(vals)], pa.int64()
+            ),
+        })
+
+    parts = []
+    totals = 0
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if b.num_rows:
+            real = b.filter(pa.compute.is_valid(b["key"]))
+            if real.num_rows:
+                parts.append((
+                    real["key"].to_numpy(zero_copy_only=False),
+                    real["cnt"].to_numpy(zero_copy_only=False),
+                ))
+            totals += int(pa.compute.sum(b["n_rows"]).as_py() or 0)
+    keys, _ = mg_merge(parts, k)
+    if len(keys) == 0 or totals == 0:
+        return pa.table({"key": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+
+    cand = pa.array(sorted(str(x) for x in keys), pa.string())
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        v = t.column(col).cast(pa.string())
+        hit = pa.compute.is_in(v, value_set=cand)
+        vals = v.filter(hit).to_numpy(zero_copy_only=False)
+        uk, cnt = np.unique(vals, return_counts=True)
+        return pa.table({
+            "key": pa.array(uk.astype(object), pa.string()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    agg: dict = {}
+    for b in ds.map_batches(exact_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for key, n in zip(b["key"].to_pylist(), b["n"].to_pylist()):
+            agg[key] = agg.get(key, 0) + int(n)
+
+    rows = sorted(
+        ((key, n) for key, n in agg.items() if n * phi_denom >= totals),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    return pa.table({
+        "key": pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+    })
