@@ -40,6 +40,44 @@ def test_mg_merge_spread_thin_heavy_key():
     assert "hot" in set(mk)  # 150 of 2050 rows (~7%) >> n/(k+1)
 
 
+def test_mg_merge_partition_invariant_property():
+    """Property: for any key population and any partitioning of it into
+    summaries, every phi-heavy key survives the merge (k >= 1/phi), and
+    surviving counters never exceed true counts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        keys=st.lists(st.integers(min_value=0, max_value=30), min_size=1,
+                      max_size=400),
+        n_parts=st.integers(min_value=1, max_value=8),
+        k=st.integers(min_value=10, max_value=24),
+    )
+    def check(keys, n_parts, k):
+        arr = np.array([f"k{v}" for v in keys], dtype=object)
+        bounds = np.linspace(0, len(arr), n_parts + 1).astype(int)
+        parts = []
+        for i in range(n_parts):
+            seg = arr[bounds[i]:bounds[i + 1]]
+            if len(seg) == 0:
+                continue
+            uk, cnt = np.unique(seg.astype(str), return_counts=True)
+            parts.append(mg_compress(uk, cnt.astype(np.int64), k))
+        mk, mc = mg_merge(parts, k)
+        merged = dict(zip(mk.tolist(), mc.tolist()))
+        uk, cnt = np.unique(arr.astype(str), return_counts=True)
+        true = dict(zip(uk.tolist(), cnt.tolist()))
+        n = len(arr)
+        for key, c in true.items():
+            if c * (k + 1) > n:  # freq > n/(k+1) ⇒ must survive
+                assert key in merged, (key, c, n, k)
+        for key, c in merged.items():
+            assert c <= true[key]  # MG counters underestimate
+
+    check()
+
+
 def test_heavy_hitters_exact_counts(ray_session):
     """Planted skew: the two-pass query returns EXACTLY the phi-heavy keys
     with exact counts, invariant to block layout."""

@@ -301,6 +301,57 @@ def test_upsert_table_rejects_lsn_column(lake):
         upsert_table(lake, bad)
 
 
+def test_lifecycle_ops_on_salted_lake(ray_session, tmp_path):
+    """delete_where / purge_conv / upsert_table on a hot-key-SALTED lake:
+    a conversation's turns live in up to salt_factor buckets, so the
+    candidate-bucket routing and the prep-stage salted re-routing must all
+    agree with ingest's."""
+    binlog = str(tmp_path / "binlog")
+    spec = BinlogSpec(
+        n_events=4_000, n_convs=12, seed=13, delete_rate=0.05,
+        zipf_s=1.6, shuffle_window=16,
+    )
+    write_binlog_shards(spec, binlog, n_shards=3, parallel=False)
+    lake = str(tmp_path / "lake")
+    replay(binlog, lake, num_buckets=6, files_per_chunk=1, hot_key_salt=3)
+    assert Manifest.load(lake).salt_factor == 3
+
+    before = _final(lake)
+    hot = before["conv_id"].value_counts().idxmax()
+
+    rep = delete_where(lake, conv_id=str(hot))
+    n_hot = int((before["conv_id"] == hot).sum())
+    assert rep.matched_rows == n_hot
+    after = _final(lake)
+    pd.testing.assert_frame_equal(
+        after, before[before["conv_id"] != hot].reset_index(drop=True)
+    )
+
+    victim = str(after["conv_id"].iloc[0])
+    prep_ = purge_conv(lake, victim)
+    assert prep_.rows_purged > 0
+    assert prep_.buckets_scanned <= 3  # candidate_buckets under salt
+    assert victim not in set(_final(lake)["conv_id"])
+
+    import numpy as np
+    import pyarrow as pa
+
+    row = _final(lake).iloc[0]
+    corr = pa.table({
+        "conv_id": pa.array([row["conv_id"]], pa.string()),
+        "turn_idx": pa.array([int(row["turn_idx"])], pa.int32()),
+        "role": pa.array([row["role"]], pa.string()),
+        "text": pa.array(["salted fix"], pa.string()),
+        "tool": pa.array([None], pa.string()),
+        "ts": pa.array([row["ts"].to_datetime64()], pa.timestamp("us")),
+    })
+    upsert_table(lake, corr)
+    got = _final(lake)
+    hit = got[(got["conv_id"] == row["conv_id"])
+              & (got["turn_idx"] == row["turn_idx"])]
+    assert hit.iloc[0]["text"] == "salted fix"
+
+
 def test_purge_missing_conv_is_noop(lake):
     v = Manifest.load(lake).version
     rep = purge_conv(lake, "no-such-conv")
