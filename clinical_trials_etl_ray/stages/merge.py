@@ -128,16 +128,28 @@ def _to_ts_us(value) -> int | None:
         return None
 
 
+#: Parquet codec for every lake file (deltas, bases, matview partials).
+#: Writer-side only — Parquet files self-describe their codec, so mixed
+#: generations coexist and readers need no configuration. zstd roughly
+#: halves text-heavy payload bytes vs snappy at comparable decode speed —
+#: at transcript scale the lake IS text, so storage AND every downstream
+#: read/compact/export pays the snappy premium twice. Override with
+#: CTE_LAKE_COMPRESSION=snappy for CPU-bound single-node ingest.
+LAKE_COMPRESSION = os.environ.get("CTE_LAKE_COMPRESSION", "zstd")
+
+
 def _write_immutable(table: pa.Table, directory: str, name: str) -> str:
     """Idempotent write: tmp file + atomic rename to a content-hash name.
 
     A retried task writing the same logical content targets the same final
-    path; os.replace makes the last writer harmless."""
+    path; os.replace makes the last writer harmless. (Content-hash names
+    digest the LOGICAL rows, not the file bytes, so the codec knob never
+    breaks retry idempotency.)"""
     os.makedirs(directory, exist_ok=True)
     final = os.path.join(directory, name)
     if not os.path.exists(final):
         tmp = final + f".tmp.{os.getpid()}"
-        pq.write_table(table, tmp)
+        pq.write_table(table, tmp, compression=LAKE_COMPRESSION)
         os.replace(tmp, final)
     return final
 
