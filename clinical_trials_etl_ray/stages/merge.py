@@ -326,8 +326,13 @@ def resolve_bucket(
     read — safe because every version of a key lives in this bucket and a
     pruned file contains no rows for the surviving keys, so LWW winners are
     unaffected. Files without recorded stats (older manifests) are always
-    read. Rows are NOT filtered here: LWW must resolve on the full kept-file
-    contents; the caller filters post-LWW.
+    read. Within kept files the predicate is ALSO pushed into the Parquet
+    scan (``filters=``): range membership is a function of ``conv_id``
+    alone, so dropping out-of-range rows keeps every version of every
+    in-range key and LWW winners for them are identical — unlike ``ts``
+    predicates, which must stay post-LWW. On compacted (key-sorted) bases
+    this skips whole row groups via column statistics; the caller's
+    post-LWW filter remains as a harmless no-op.
 
     ``as_of_lsn`` gives time travel: files are pruned by their manifest
     ``min_lsn`` (no read) and rows filtered to ``lsn <= as_of_lsn`` before
@@ -374,13 +379,29 @@ def resolve_bucket(
     if columns is not None:
         needed = list(dict.fromkeys(list(KEY_COLS) + list(columns)))
 
+    conv_filter = None
+    if conv_range is not None:
+        import pyarrow.dataset as pads
+
+        lo, hi = conv_range
+        if lo is not None:
+            conv_filter = pads.field("conv_id") >= lo
+        if hi is not None:
+            e = pads.field("conv_id") <= hi
+            conv_filter = e if conv_filter is None else conv_filter & e
+
     def _read(f):
         path = os.path.join(lake_dir, f["path"])
+        kwargs = {}
+        if conv_filter is not None:
+            kwargs["filters"] = conv_filter
         if needed is None:
-            t = pq.read_table(path)
+            t = pq.read_table(path, **kwargs)
         else:
             present = set(pq.read_schema(path).names)
-            t = pq.read_table(path, columns=[c for c in needed if c in present])
+            t = pq.read_table(
+                path, columns=[c for c in needed if c in present], **kwargs
+            )
         if as_of_lsn is not None and f.get("max_lsn", as_of_lsn) > as_of_lsn:
             t = t.filter(pc.less_equal(t["lsn"], as_of_lsn))
         if since_lsn is not None and f.get("min_lsn", since_lsn) <= since_lsn:
