@@ -137,6 +137,14 @@ def _to_ts_us(value) -> int | None:
 #: CTE_LAKE_COMPRESSION=snappy for CPU-bound single-node ingest.
 LAKE_COMPRESSION = os.environ.get("CTE_LAKE_COMPRESSION", "zstd")
 
+#: rows per Parquet row group in lake files. The conv-predicate scan
+#: pushdown prunes at ROW-GROUP granularity via column statistics, and a
+#: compacted bucket base at 100-TB scale holds tens of millions of rows —
+#: parquet's 1Mi-row default would leave point lookups decoding ~1M rows
+#: per hit. 256k keeps pruning fine-grained at negligible metadata cost;
+#: small deltas (< one group) are unaffected.
+LAKE_ROW_GROUP_SIZE = int(os.environ.get("CTE_LAKE_ROW_GROUP_SIZE", "262144"))
+
 
 def _write_immutable(table: pa.Table, directory: str, name: str) -> str:
     """Idempotent write: tmp file + atomic rename to a content-hash name.
@@ -149,7 +157,11 @@ def _write_immutable(table: pa.Table, directory: str, name: str) -> str:
     final = os.path.join(directory, name)
     if not os.path.exists(final):
         tmp = final + f".tmp.{os.getpid()}"
-        pq.write_table(table, tmp, compression=LAKE_COMPRESSION)
+        pq.write_table(
+            table, tmp,
+            compression=LAKE_COMPRESSION,
+            row_group_size=LAKE_ROW_GROUP_SIZE,
+        )
         os.replace(tmp, final)
     return final
 
