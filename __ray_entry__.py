@@ -66,6 +66,7 @@ _TAIL = [
     "cdc_bootstrap_handoff",  # oracle-bearing; pytest-enforced (window full)
     "cdc_upsert_corrections",  # oracle-bearing; pytest-enforced (window full)
     "heavy_hitter_convs",   # oracle-bearing; pytest-enforced (window is full)
+    "cdc_conv_gaps",        # oracle-bearing; pytest-enforced (window is full)
     "cdc_change_feed",      # oracle-bearing; pytest-enforced (window is full)
     "cdc_replica_final",    # oracle-bearing; pytest-enforced (window is full)
     "mv_conv_stats",        # oracle-bearing; pytest-enforced (window is full)

@@ -397,6 +397,75 @@ HAVING COUNT(*) * 200 >= (SELECT COUNT(*) FROM binlog)
 """
 
 
+def q_cdc_conv_gaps(sf_dir: str):
+    """Transcript integrity QA over the lake: conversations with MISSING
+    turns (holes in the 0..max(turn_idx) sequence after replay — deletes
+    and never-arrived events both leave gaps). The scan is the keys-only
+    projected read (columns=[] — at transcript scale the text column never
+    leaves disk), per-batch partials (count, max turn per conv) combine
+    through one tiny pre-aggregated groupby — the partial/final shape, no
+    full-row shuffle. Oracle: GROUP BY/HAVING over the SQL final state."""
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    from ..pipelines.replay import replay
+    from ..stages.merge import read_final_table
+
+    work = tempfile.mkdtemp(prefix="cdc_gaps_", dir="/tmp")
+    binlog_dir = os.path.join(work, "binlog")
+    lake_dir = os.path.join(work, "lake")
+    derived_binlog_ds(sf_dir).write_parquet(binlog_dir)
+    replay(binlog_dir, lake_dir, num_buckets=16, files_per_chunk=4)
+
+    keys = read_final_table(lake_dir, columns=[])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.select(["conv_id", "turn_idx"]).to_pandas()
+        g = df.groupby("conv_id", as_index=False).agg(
+            n_turns=("turn_idx", "size"), max_turn=("turn_idx", "max")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        keys.map_batches(partial, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(Sum("n_turns", alias_name="n_turns"),
+                   Max("max_turn", alias_name="max_turn"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        miss = pc.subtract(
+            pc.add(t["max_turn"].cast(pa.int64()), 1),
+            t["n_turns"].cast(pa.int64()),
+        )
+        keep = pc.greater(miss, 0)
+        out = pa.table({
+            "conv_id": t["conv_id"],
+            "n_missing": miss,
+        }).filter(keep)
+        return out
+
+    result = agg.map_batches(finish, batch_format="pyarrow")
+    table = pa.concat_tables(
+        list(result.iter_batches(batch_format="pyarrow"))
+        or [pa.table({"conv_id": pa.array([], pa.string()),
+                      "n_missing": pa.array([], pa.int64())})]
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return table
+
+
+SQL_CONV_GAPS = f"""
+WITH final AS ({SQL_FINAL})
+SELECT conv_id, CAST(MAX(turn_idx) + 1 - COUNT(*) AS BIGINT) AS n_missing
+FROM final
+GROUP BY conv_id
+HAVING MAX(turn_idx) + 1 - COUNT(*) > 0
+"""
+
+
 def q_cdc_bootstrap_handoff(sf_dir: str):
     """Snapshot → streaming handoff (pipelines/bootstrap.py): replay the
     first half of the derived binlog into a staging lake, export its
@@ -710,6 +779,7 @@ QUERIES = {
     "cdc_bootstrap_handoff": q_cdc_bootstrap_handoff,
     "cdc_upsert_corrections": q_cdc_upsert_corrections,
     "heavy_hitter_convs": q_heavy_hitter_convs,
+    "cdc_conv_gaps": q_cdc_conv_gaps,
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_replica_final": q_cdc_replica_final,
     "mv_conv_stats": q_mv_conv_stats,
@@ -728,6 +798,7 @@ ORACLE_SQL = {
     "cdc_bootstrap_handoff": SQL_FINAL,
     "cdc_upsert_corrections": SQL_UPSERT_CORRECTIONS,
     "heavy_hitter_convs": SQL_HEAVY_HITTER_CONVS,
+    "cdc_conv_gaps": SQL_CONV_GAPS,
     "cdc_change_feed": SQL_CHANGE_FEED,
     "cdc_replica_final": SQL_FINAL,
     "mv_conv_stats": SQL_MV_CONV_STATS,
