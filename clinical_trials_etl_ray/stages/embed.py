@@ -425,6 +425,62 @@ def build_ivf_index(sf_dir: str, index_dir: str, n_centroids: int = 16):
     return index_dir
 
 
+def ivf_index_add(index_dir: str, embeddings, vec_col: str = "embedding") -> int:
+    """Incrementally ADD vectors to a materialized IVF index — the CDC
+    side of ANN: as the lake ingests new embedded content, route each new
+    vector to its nearest-centroid list (the SAME saved codebook — probe
+    routing stays consistent) and append hive-partitioned files into the
+    existing list directories. No existing file is touched, no rebuild:
+    the cost is O(new vectors), and a probe's partition read picks up the
+    appended files automatically (Ray writes fresh UUID-named files, so
+    concurrent adds don't collide).
+
+    ``embeddings``: a Parquet path/dir or a ``ray.data.Dataset`` with
+    (vec_id, embedding). Append-only semantics: vec_ids are the caller's
+    to keep unique (re-embedded content should use the lake's LWW upsert
+    upstream, then rebuild or add with fresh ids). Returns the number of
+    vectors added.
+
+    Reference analog: the reference re-runs its whole extraction to pick
+    up new trials (SURVEY §4); here index maintenance is incremental like
+    every other ingest path in this engine."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    cent_t = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    cm_ref = ray.put(normalize_rows(table_to_matrix(cent_t)))
+
+    if isinstance(embeddings, str):
+        ds = ray.data.read_parquet(embeddings, columns=["vec_id", vec_col])
+    else:
+        ds = embeddings
+
+    class Assigner:
+        def __init__(self):
+            self.cm = ray.get(cm_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = normalize_rows(table_to_matrix(batch, col=vec_col))
+            assign = np.argmax(self.cm @ m.T, axis=0).astype(np.int32)
+            batch = batch.append_column("ivf_list", pa.array(assign))
+            return batch.append_column("list_id", pa.array(assign))
+
+    ds = ds.map_batches(
+        Assigner, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)
+    )
+    # materialize once (the add batch is O(new vectors), small by
+    # definition of an incremental add) so count + write share one compute
+    ds = ds.materialize()
+    n = ds.count()
+    ds.write_parquet(
+        os.path.join(index_dir, "data"), partition_cols=["ivf_list"]
+    )
+    return n
+
+
 def ann_topk_ivf_indexed(
     sf_dir: str,
     index_dir: str,

@@ -1,0 +1,78 @@
+"""Incremental IVF index maintenance (stages/embed.ivf_index_add): build
+on half the corpus, add the other half, and searches over the grown index
+equal brute force at nprobe=C (exactness is codebook-independent there)."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from clinical_trials_etl_ray.stages.embed import (
+    ann_topk,
+    ann_topk_ivf_indexed,
+    build_ivf_index,
+    ivf_index_add,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _df(res) -> pd.DataFrame:
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    return df.sort_values(["qid", "vec_id"]).reset_index(drop=True)
+
+
+def test_build_half_add_rest_equals_brute_force(ray_session, tmp_path):
+    src = os.path.join(SF, "embeddings.parquet")
+    t = pq.read_table(src, columns=["vec_id", "embedding"])
+    half = t.num_rows // 2
+
+    half_sf = tmp_path / "half_sf"
+    half_sf.mkdir()
+    pq.write_table(t.slice(0, half), str(half_sf / "embeddings.parquet"))
+    rest = tmp_path / "rest.parquet"
+    pq.write_table(t.slice(half), str(rest))
+
+    index_dir = str(tmp_path / "ivf")
+    build_ivf_index(str(half_sf), index_dir, n_centroids=8)
+    added = ivf_index_add(index_dir, str(rest))
+    assert added == t.num_rows - half
+
+    # nprobe = C probes every list: results must equal brute force over
+    # the FULL corpus regardless of which half seeded the codebook
+    got = _df(ann_topk_ivf_indexed(SF, index_dir, n_queries=5, k=5, nprobe=8))
+    want = _df(ann_topk(SF, n_queries=5, k=5))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_add_is_pure_append(ray_session, tmp_path):
+    """Adding never rewrites existing index files (incremental, O(new))."""
+    src = os.path.join(SF, "embeddings.parquet")
+    t = pq.read_table(src, columns=["vec_id", "embedding"])
+
+    half_sf = tmp_path / "half_sf"
+    half_sf.mkdir()
+    pq.write_table(t.slice(0, t.num_rows // 2),
+                   str(half_sf / "embeddings.parquet"))
+    index_dir = str(tmp_path / "ivf")
+    build_ivf_index(str(half_sf), index_dir, n_centroids=4)
+
+    def snapshot():
+        out = {}
+        data = os.path.join(index_dir, "data")
+        for dp, _, fs in os.walk(data):
+            for f in fs:
+                p = os.path.join(dp, f)
+                out[p] = (os.path.getsize(p), os.path.getmtime(p))
+        return out
+
+    before = snapshot()
+    rest = tmp_path / "rest.parquet"
+    pq.write_table(t.slice(t.num_rows // 2), str(rest))
+    ivf_index_add(index_dir, str(rest))
+    after = snapshot()
+    for p, meta in before.items():
+        assert after[p] == meta  # untouched
+    assert len(after) > len(before)  # new files appended
