@@ -37,6 +37,30 @@ def normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / norm
 
 
+def hash_embed(texts, dim: int = 32) -> np.ndarray:
+    """Deterministic text → R^dim embedding STAND-IN (no model libraries in
+    this sandbox; the real embedder drops in behind the same signature).
+    Fully vectorized: the text's 64-bit SipHash fans out to ``dim``
+    lanes via per-lane odd-constant multiplies (splitmix-style uint64 wrap),
+    mapped to [-1, 1) and L2-normalized. Identical text ⇒ identical vector
+    on every worker and run — the property the index/feed equivalence tests
+    rely on. NOT semantically meaningful; a placeholder with the correct
+    distributed plumbing (same contract as multimodal.RealDecoder).
+    """
+    from ..functions.hashing import hash_strings
+
+    h = hash_strings(np.asarray(texts, dtype=object)).astype(np.uint64)
+    lanes = (np.arange(dim, dtype=np.uint64) * np.uint64(2)
+             + np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    mixed = h[:, None] * lanes[None, :]           # uint64 wrap per lane
+    mixed ^= mixed >> np.uint64(33)
+    mixed *= np.uint64(0xFF51AFD7ED558CCD)
+    mixed ^= mixed >> np.uint64(33)
+    vals = (mixed >> np.uint64(11)).astype(np.float64)
+    vals = vals / float(1 << 53) * 2.0 - 1.0      # [-1, 1)
+    return normalize_rows(vals)
+
+
 def read_lowest_vec_ids(path: str, n: int, columns=("vec_id", "embedding")) -> pa.Table:
     """The n rows with the smallest ``vec_id``, reading only the row groups
     that can contain them (parquet min-stats pruning) — O(n + row_group)
