@@ -201,7 +201,7 @@ def delete_where(
     ``dry_run`` returns the matched-row count without writing anything.
     An empty predicate is refused unless ``allow_full=True`` (truncate).
     """
-    from ..stages.merge import make_direct_delta_writer, prep_batch, read_final_table
+    from ..stages.merge import read_final_table
 
     if conv_id is None and conv_range is None and ts_min is None and ts_max is None:
         if not allow_full:
