@@ -117,6 +117,21 @@ def main(argv=None) -> int:
                          "(projection pushdown: other columns are never "
                          "decoded from parquet; keys always included)")
 
+    sqp = sub.add_parser(
+        "sql",
+        help="ad-hoc SQL over the lake's live state (DuckDB on a streaming "
+             "Arrow reader; the view is named 'final') — the interactive "
+             "analog of the reference's custom-queries page",
+    )
+    sqp.add_argument("lake_dir")
+    sqp.add_argument("query")
+    sqp.add_argument("--version", type=int, default=None,
+                     help="time travel: query an older snapshot")
+    sqp.add_argument("--out", default=None,
+                     help="write the result parquet here instead of "
+                          "printing up to --limit rows as JSON")
+    sqp.add_argument("--limit", type=int, default=20)
+
     dfp = sub.add_parser(
         "diff",
         help="audit diff between two committed versions: the change rows "
@@ -417,6 +432,19 @@ def main(argv=None) -> int:
                 args.format
             ](ds, args.out_dir)
             print(json.dumps({"out": args.out_dir}))
+        elif args.cmd == "sql":
+            from .pipelines.adhoc import sql_on_lake
+
+            res = sql_on_lake(args.lake_dir, args.query, version=args.version)
+            if args.out:
+                import pyarrow.parquet as _pq
+
+                _pq.write_table(res, args.out)
+                print(json.dumps({"out": args.out, "rows": res.num_rows}))
+            else:
+                rows = res.slice(0, args.limit).to_pylist()
+                print(json.dumps({"rows": res.num_rows,
+                                  "preview": rows}, default=str))
         elif args.cmd == "diff":
             from .sources.writers import write_csv, write_json, write_parquet
             from .stages.merge import diff_versions
