@@ -400,13 +400,24 @@ def ann_topk_ivf(
     )
 
 
-def build_ivf_index(sf_dir: str, index_dir: str, n_centroids: int = 16):
+def build_ivf_index(
+    sf_dir: str,
+    index_dir: str,
+    n_centroids: int = 16,
+    refine_iters: int = 0,
+):
     """Materialize the IVF index as a PARTITIONED lake layout: embeddings
     written hive-partitioned by their nearest-centroid list id, centroids
     saved alongside. This is the concrete multi-node scale path the
     in-memory IVF alludes to — a probe then READS only its ``nprobe``
     list partitions (true partition pruning at the storage layer), i.e.
-    nprobe/C of the corpus instead of a full scan per query batch."""
+    nprobe/C of the corpus instead of a full scan per query batch.
+
+    ``refine_iters``: run that many distributed Lloyd iterations over the
+    FULL corpus (``kmeans_refine_distributed`` — one streaming pass each,
+    tiny per-block partials) to tighten the sample-seeded codebook before
+    partitioning. Improves small-nprobe recall on clustered data; at
+    nprobe = C results are exact regardless, so 0 keeps builds cheapest."""
     import os
 
     import pyarrow.parquet as pq
@@ -415,6 +426,11 @@ def build_ivf_index(sf_dir: str, index_dir: str, n_centroids: int = 16):
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     centroids = coarse_centroids(path, n_centroids)
+    if refine_iters > 0:
+        corpus = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        centroids = kmeans_refine_distributed(
+            corpus, centroids, iters=refine_iters
+        )
     cent_t = pa.table(
         {
             "centroid_id": pa.array(range(len(centroids)), pa.int64()),

@@ -47,6 +47,17 @@ def test_build_half_add_rest_equals_brute_force(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_build_with_refined_codebook_stays_exact(ray_session, tmp_path):
+    """refine_iters moves the centroids (different partitioning) but
+    nprobe=C results stay exactly brute force — codebook-independence of
+    the exactness bound."""
+    index_dir = str(tmp_path / "ivf_refined")
+    build_ivf_index(SF, index_dir, n_centroids=8, refine_iters=2)
+    got = _df(ann_topk_ivf_indexed(SF, index_dir, n_queries=5, k=5, nprobe=8))
+    want = _df(ann_topk(SF, n_queries=5, k=5))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_add_is_pure_append(ray_session, tmp_path):
     """Adding never rewrites existing index files (incremental, O(new))."""
     src = os.path.join(SF, "embeddings.parquet")
