@@ -132,6 +132,20 @@ def main(argv=None) -> int:
                           "printing up to --limit rows as JSON")
     sqp.add_argument("--limit", type=int, default=20)
 
+    rnp = sub.add_parser(
+        "render",
+        help="assembled-conversation export: one row per conversation with "
+             "a deterministic rendered transcript — write as json for an "
+             "SFT-ready corpus",
+    )
+    rnp.add_argument("lake_dir")
+    rnp.add_argument("out_dir")
+    rnp.add_argument("--format", choices=["parquet", "csv", "json"],
+                     default="json")
+    rnp.add_argument("--version", type=int, default=None)
+    rnp.add_argument("--conv-min", default=None)
+    rnp.add_argument("--conv-max", default=None)
+
     dfp = sub.add_parser(
         "diff",
         help="audit diff between two committed versions: the change rows "
@@ -427,6 +441,22 @@ def main(argv=None) -> int:
                     if args.columns
                     else None
                 ),
+            )
+            {"parquet": write_parquet, "csv": write_csv, "json": write_json}[
+                args.format
+            ](ds, args.out_dir)
+            print(json.dumps({"out": args.out_dir}))
+        elif args.cmd == "render":
+            from .pipelines.adhoc import render_lake
+            from .sources.writers import write_csv, write_json, write_parquet
+
+            conv_range = (
+                (args.conv_min, args.conv_max)
+                if (args.conv_min is not None or args.conv_max is not None)
+                else None
+            )
+            ds = render_lake(
+                args.lake_dir, version=args.version, conv_range=conv_range
             )
             {"parquet": write_parquet, "csv": write_csv, "json": write_json}[
                 args.format

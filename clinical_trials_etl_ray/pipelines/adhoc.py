@@ -76,3 +76,44 @@ def sql_on_lake(
     con = duckdb.connect()
     con.register("final", reader)
     return con.execute(query).fetch_arrow_table()
+
+
+def render_lake(
+    lake_dir: str,
+    version: int | None = None,
+    conv_range: tuple | None = None,
+):
+    """Assembled-conversation export of the lake: one row per conversation
+    with a deterministic rendered transcript (turns ordered by turn_idx —
+    unique per conv since it is the upsert key). The training-data
+    "out the door" step: write the result as JSONL and it is a ready
+    supervised-finetuning corpus.
+
+    Scale shape: the read is projection-pushed to (keys, role, text); the
+    ONE groupby moves exactly the render inputs. (A bucket-local render
+    would be shuffle-free on unsalted lakes, but Ray's dynamic block
+    splitting may split a bucket's resolve output across blocks, so the
+    groupby is the always-correct form.) Returns a Ray Dataset
+    (conv_id, n_turns, transcript) — stream it to a sink.
+    """
+    from ..stages.merge import read_final_table
+
+    ds = read_final_table(
+        lake_dir,
+        version=version,
+        conv_range=conv_range,
+        columns=["role", "text"],
+    )
+
+    def render(df):
+        import pandas as pd
+
+        df = df.sort_values("turn_idx", kind="mergesort")
+        lines = df["role"].astype(str) + ": " + df["text"].fillna("")
+        return pd.DataFrame({
+            "conv_id": [df["conv_id"].iloc[0]],
+            "n_turns": pd.array([len(df)], dtype="int64"),
+            "transcript": ["\n".join(lines)],
+        })
+
+    return ds.groupby("conv_id").map_groups(render, batch_format="pandas")

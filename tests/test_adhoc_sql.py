@@ -58,3 +58,28 @@ def test_sql_empty_lake_predicate(lake):
         conv_range=("zzz", "zzzz"),  # matches nothing
     )
     assert out["n"][0].as_py() == 0
+
+
+def test_render_lake_matches_pandas(lake):
+    from clinical_trials_etl_ray.pipelines.adhoc import render_lake
+
+    live = read_final_table(lake).to_pandas()
+
+    def render_pd(df):
+        df = df.sort_values("turn_idx", kind="mergesort")
+        return "\n".join(df["role"].astype(str) + ": " + df["text"].fillna(""))
+
+    want = (
+        live.groupby("conv_id")
+        .apply(render_pd, include_groups=False)
+        .rename("transcript").reset_index()
+        .sort_values("conv_id").reset_index(drop=True)
+    )
+    got = (
+        render_lake(lake).to_pandas()
+        .sort_values("conv_id").reset_index(drop=True)
+    )
+    assert (got["n_turns"] > 0).all()
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "transcript"]], want, check_dtype=False
+    )
