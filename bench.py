@@ -132,6 +132,7 @@ def bench_queries() -> dict:
         "quantiles_by_lang": analytics.QUERIES["quantiles_by_lang"],
         "mv_conv_stats": cdc_queries.QUERIES["mv_conv_stats"],
         "dedup_incremental": textops.QUERIES["dedup_incremental"],
+        "heavy_hitter_convs": cdc_queries.QUERIES["heavy_hitter_convs"],
     }
     times = {}
     for name, fn in picks.items():
