@@ -18,3 +18,9 @@ def ray_session():
     ctx.enable_progress_bars = False
     yield
     ray.shutdown()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-subprocess end-to-end tests (~1 min)"
+    )
