@@ -77,6 +77,10 @@ def main(argv=None) -> int:
                     help="(--follow) minor-compact buckets holding at "
                          "least this many delta files after each ingesting "
                          "round — steady-state read fan-in control")
+    rp.add_argument("--expire-keep-last", type=int, default=None,
+                    help="(--follow) retire all but the newest N manifest "
+                         "versions after each round — bounds manifest "
+                         "growth under continuous ingest")
 
     cp = sub.add_parser("compact")
     cp.add_argument("lake_dir")
@@ -394,7 +398,8 @@ def main(argv=None) -> int:
                            idle_rounds=args.idle_rounds,
                            matview_dir=args.matview_dir,
                            replica_dir=args.replica_dir,
-                           compact_min_files=args.compact_min_files, **kw)
+                           compact_min_files=args.compact_min_files,
+                           expire_keep_last=args.expire_keep_last, **kw)
             else:
                 r = replay(args.binlog_dir, args.lake_dir, **kw)
             print(json.dumps(r.__dict__))

@@ -429,6 +429,7 @@ def follow(
     matview_dir: str | None = None,
     replica_dir: str | None = None,
     compact_min_files: int | None = None,
+    expire_keep_last: int | None = None,
     **replay_kwargs,
 ) -> ReplayReport:
     """Tail a growing binlog directory: repeatedly replay (committed chunks
@@ -460,6 +461,14 @@ def follow(
     per (task, bucket) per chunk, so without folding, read fan-in grows
     linearly with rounds; with it, fan-in stays O(compact_min_files) per
     bucket while each fold touches only the new deltas.
+
+    ``expire_keep_last``: after each ingesting round's maintenance, retire
+    all but the newest N manifest versions and reclaim their exclusively-
+    owned files (``Manifest.expire_versions``). Under continuous ingest
+    every round commits 1+ versions, each a full file-list snapshot —
+    without expiry the manifest directory grows O(rounds × files). Time
+    travel keeps working for the retained window. Leave None to retain
+    everything (short runs / audit-heavy lakes).
     """
     import time as _time
     import warnings
@@ -518,6 +527,13 @@ def follow(
                 refresh_matview(lake_dir, matview_dir)
             if replica_dir is not None and r.chunks_applied:
                 sync_replica(lake_dir, replica_dir)
+            if expire_keep_last is not None and r.chunks_applied:
+                # last: every consumer above has read its state for this
+                # round, so expiring pre-window versions cannot pull files
+                # out from under them
+                Manifest.load(lake_dir).expire_versions(
+                    keep_last=expire_keep_last
+                )
         rounds += 1
         if idle < idle_rounds and (max_rounds is None or rounds < max_rounds):
             _time.sleep(poll_interval_s)

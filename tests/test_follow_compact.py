@@ -68,3 +68,44 @@ def test_follow_with_inline_minor_compaction(ray_session, tmp_path):
         for b in range(man.num_buckets)
     ]
     assert max(per_bucket) <= 4, per_bucket
+
+
+def test_follow_expires_old_versions(ray_session, tmp_path):
+    """expire_keep_last bounds manifest-directory growth under continuous
+    ingest while the retained window keeps time travel working."""
+    spec = BinlogSpec(n_events=6_000, n_convs=100, seed=37,
+                      shuffle_window=16)
+    src = str(tmp_path / "all_shards")
+    all_paths = sorted(write_binlog_shards(spec, src, n_shards=6))
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    for p in all_paths[:2]:
+        shutil.copy(p, live)
+
+    def feeder():
+        for p in all_paths[2:]:
+            tmp = os.path.join(live, os.path.basename(p) + ".tmp")
+            shutil.copy(p, tmp)
+            os.replace(tmp, os.path.join(live, os.path.basename(p)))
+
+    lake = str(tmp_path / "lake")
+    t = threading.Thread(target=feeder)
+    t.start()
+    follow(live, lake, poll_interval_s=0.4, idle_rounds=2,
+           num_buckets=4, files_per_chunk=1,
+           disorder_bound=spec.shuffle_window,
+           compact_min_files=2, expire_keep_last=3)
+    t.join()
+
+    mdir = os.path.join(lake, "manifest")
+    import glob
+    versions = sorted(glob.glob(os.path.join(mdir, "v*.json")))
+    assert len(versions) <= 3, versions
+
+    want = oracle_final_table(generate_events(spec))
+    assert _final_sorted(lake).equals(want)
+    # time travel inside the retained window still resolves
+    from clinical_trials_etl_ray.stages.merge import read_final_table
+    man = Manifest.load(lake)
+    retained = int(os.path.basename(versions[0])[1:-5])
+    assert read_final_table(lake, version=retained).count() > 0
