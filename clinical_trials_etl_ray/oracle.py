@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from .schema import EVENT_SCHEMA, TRANSCRIPT_SCHEMA, unify_to_event_schema
+from .schema import TRANSCRIPT_SCHEMA, unify_to_event_schema
 
 
 def replay_events(table: pa.Table, min_lsn_exclusive: int = -1) -> dict:

@@ -31,8 +31,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..functions.hashing import bucket_ids, content_hash
-from ..schema import EVENT_SCHEMA, TRANSCRIPT_SCHEMA, unify_to_event_schema
+from ..functions.hashing import content_hash
+from ..schema import EVENT_SCHEMA, TRANSCRIPT_SCHEMA
 from ..state.manifest import bucket_dir
 from .dedupe import lww_winners
 

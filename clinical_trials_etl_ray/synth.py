@@ -13,7 +13,7 @@ seconds; no wall-clock or external data is used (seed-only determinism).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
