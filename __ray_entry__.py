@@ -70,6 +70,7 @@ _TAIL = [
     "cdc_change_feed",      # oracle-bearing; pytest-enforced (window is full)
     "cdc_replica_final",    # oracle-bearing; pytest-enforced (window is full)
     "mv_conv_stats",        # oracle-bearing; pytest-enforced (window is full)
+    "mv_role_hourly",       # oracle-bearing; pytest-enforced (window is full)
     "render_conversations", # oracle-bearing; pytest-enforced (window is full)
     "near_dup_clusters",    # oracle-bearing; pytest-enforced (window is full)
     "decontaminate_docs",   # oracle-bearing; pytest-enforced (window is full)

@@ -290,6 +290,13 @@ def main(argv=None) -> int:
                     help="(build) aggregate spec, repeatable — kinds: "
                          "count, nn_count, sum, min, max, sum_utf8_len "
                          "(e.g. --agg n_turns:count --agg chars:sum_utf8_len:text)")
+    mp.add_argument("--window-s", type=int, default=None,
+                    help="(build) event-time tumbling-window width in "
+                         "seconds: groups additionally by win_start = "
+                         "floor(--time-col to the window)")
+    mp.add_argument("--time-col", default="ts",
+                    help="(build) event-time column for --window-s "
+                         "(default ts)")
 
     snp = sub.add_parser(
         "seen",
@@ -585,7 +592,7 @@ def main(argv=None) -> int:
 
             if args.action in ("build", "refresh"):
                 spec = None
-                if args.key or args.agg:
+                if args.key or args.agg or args.window_s:
                     from .stages.matview import DEFAULT_SPEC, ViewAgg, ViewSpec
 
                     aggs = (
@@ -596,7 +603,12 @@ def main(argv=None) -> int:
                         if args.agg
                         else DEFAULT_SPEC.aggs
                     )
-                    spec = ViewSpec(key=args.key or "conv_id", aggs=aggs)
+                    spec = ViewSpec(
+                        key=args.key or "conv_id",
+                        aggs=aggs,
+                        time_col=args.time_col if args.window_s else None,
+                        window_s=args.window_s,
+                    )
                 fn = build_matview if args.action == "build" else refresh_matview
                 r = fn(args.lake_dir, args.mv_dir, spec=spec)
                 print(json.dumps(r.__dict__))

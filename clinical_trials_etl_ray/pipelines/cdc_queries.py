@@ -680,6 +680,75 @@ FROM final GROUP BY conv_id
 """
 
 
+def q_mv_role_hourly(sf_dir: str):
+    """Event-time TUMBLING-WINDOW aggregate, maintained incrementally — the
+    streaming windowed aggregate (stages/matview.py ViewSpec.time_col/
+    window_s): replay half the derived binlog → build a role × hour view
+    (win_start = floor(ts to the hour)) → replay the rest → incremental
+    refresh touches only changed buckets, late/out-of-order events simply
+    re-resolve their window's partials. The view read must equal a
+    from-scratch role × hour grouped aggregate over the final table — the
+    SQL oracle below. Windows are derived by exact epoch-μs integer floor
+    division on both sides. Registered beyond the driver's 50-query window;
+    the oracle comparison runs in pytest (test_matview.py)."""
+    from ..pipelines.replay import replay
+    from ..stages.matview import (
+        ViewAgg,
+        ViewSpec,
+        build_matview,
+        read_matview,
+        refresh_matview,
+    )
+
+    spec = ViewSpec(
+        key="role",
+        aggs=(
+            ViewAgg("n_turns", "count"),
+            ViewAgg("text_chars", "sum_utf8_len", "text"),
+        ),
+        time_col="ts",
+        window_s=3600,
+    )
+    work = tempfile.mkdtemp(prefix="cdc_mv_win_", dir="/tmp")
+    binlog_dir = os.path.join(work, "binlog")
+    lake_dir = os.path.join(work, "lake")
+    mv_dir = os.path.join(work, "mv")
+    derived_binlog_ds(sf_dir).write_parquet(binlog_dir)
+    shards = sorted(
+        os.path.join(binlog_dir, f)
+        for f in os.listdir(binlog_dir)
+        if f.endswith(".parquet")
+    )
+    half = max(1, len(shards) // 2)
+    replay(shards[:half], lake_dir, num_buckets=16, files_per_chunk=4)
+    build_matview(lake_dir, mv_dir, spec=spec)
+    replay(shards, lake_dir, num_buckets=16, files_per_chunk=4)
+    refresh_matview(lake_dir, mv_dir)
+    mv = read_matview(mv_dir)
+    batches = list(mv.iter_batches(batch_format="pyarrow"))
+    empty = pa.schema(
+        [
+            pa.field("role", pa.string()),
+            pa.field("win_start", pa.timestamp("us")),
+            pa.field("n_turns", pa.int64()),
+            pa.field("text_chars", pa.int64()),
+        ]
+    ).empty_table()
+    table = pa.concat_tables(batches or [empty])
+    shutil.rmtree(work, ignore_errors=True)
+    return table
+
+
+SQL_MV_ROLE_HOURLY = f"""
+WITH final AS ({SQL_FINAL})
+SELECT role,
+  make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS win_start,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS text_chars
+FROM final GROUP BY role, win_start
+"""
+
+
 def q_render_conversations(sf_dir: str):
     """Conversation assembly — the IMPLODE counterpart of the explode/
     flatten operators (reference assembles one document from extracted
@@ -783,6 +852,7 @@ QUERIES = {
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_replica_final": q_cdc_replica_final,
     "mv_conv_stats": q_mv_conv_stats,
+    "mv_role_hourly": q_mv_role_hourly,
     "render_conversations": q_render_conversations,
     "validate_events": q_validate_events,
 }
@@ -802,6 +872,7 @@ ORACLE_SQL = {
     "cdc_change_feed": SQL_CHANGE_FEED,
     "cdc_replica_final": SQL_FINAL,
     "mv_conv_stats": SQL_MV_CONV_STATS,
+    "mv_role_hourly": SQL_MV_ROLE_HOURLY,
     "render_conversations": SQL_RENDER_CONVERSATIONS,
     "validate_events": SQL_VALIDATE_EVENTS,
 }

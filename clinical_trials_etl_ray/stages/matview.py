@@ -97,7 +97,18 @@ class ViewSpec:
     """What a materialized view computes: ``key → aggs``. The key need NOT
     be the lake's partition key — per-bucket partials are mergeable for any
     group column (a ``role``-keyed view stores ≤ num_buckets partial rows
-    per role and merges at read), the classic partial/final combine."""
+    per role and merges at read), the classic partial/final combine.
+
+    ``time_col``/``window_s`` turn the view into an event-time TUMBLING
+    WINDOW aggregate: rows are additionally grouped by
+    ``win_start = floor(time_col / window_s) * window_s`` (a derived
+    timestamp column in the view output). Combined with the incremental
+    refresh loop this is the streaming windowed aggregate: windows update
+    at O(change rate) as events (including late, out-of-order ones —
+    LWW re-resolves their bucket and the refresh recomputes exactly the
+    touched buckets' partials) keep arriving, and closed windows cost
+    nothing once their buckets stop changing. Same mergeable-partial math —
+    a (key, win_start) group is just a finer group key."""
 
     key: str = "conv_id"
     aggs: tuple = (
@@ -106,18 +117,39 @@ class ViewSpec:
         ViewAgg("text_chars", "sum_utf8_len", "text"),
         ViewAgg("last_ts", "max", "ts"),
     )
+    time_col: str | None = None
+    window_s: int | None = None
+
+    def __post_init__(self):
+        if (self.time_col is None) != (self.window_s is None):
+            raise ValueError("time_col and window_s must be set together")
+        if self.window_s is not None and self.window_s <= 0:
+            raise ValueError("window_s must be a positive number of seconds")
+
+    @property
+    def group_keys(self) -> list:
+        return [self.key, "win_start"] if self.window_s else [self.key]
 
     def to_json(self) -> dict:
-        return {
+        doc = {
             "key": self.key,
             "aggs": [[a.name, a.kind, a.col] for a in self.aggs],
         }
+        # only present for windowed views, so specs persisted by earlier
+        # versions round-trip and compare equal (to_json is the conflict
+        # check in refresh_matview)
+        if self.window_s:
+            doc["window"] = [self.time_col, self.window_s]
+        return doc
 
     @classmethod
     def from_json(cls, doc: dict) -> "ViewSpec":
+        win = doc.get("window") or (None, None)
         return cls(
             key=doc["key"],
             aggs=tuple(ViewAgg(n, k, c) for n, k, c in doc["aggs"]),
+            time_col=win[0],
+            window_s=win[1],
         )
 
 
@@ -143,6 +175,21 @@ def _typed(col: pa.ChunkedArray, kind: str) -> pa.ChunkedArray:
     )
 
 
+def _win_start(ts: pa.ChunkedArray, window_s: int) -> pa.ChunkedArray:
+    """Tumbling-window start for each event time: epoch-μs integer floor
+    division (vectorized, exact — no float round-trip), null-preserving.
+    Event times are non-negative in this engine (validated at ingest), so
+    truncating integer division IS floor division here."""
+    if pa.types.is_null(ts.type):
+        return ts.cast(pa.timestamp("us"))
+    win_us = int(window_s) * 1_000_000
+    epoch = ts.cast(pa.timestamp("us")).cast(pa.int64())
+    return pc.multiply(
+        pc.divide(epoch, pa.scalar(win_us, pa.int64())),
+        pa.scalar(win_us, pa.int64()),
+    ).cast(pa.timestamp("us"))
+
+
 def view_partials(live: pa.Table, spec: ViewSpec = DEFAULT_SPEC) -> pa.Table:
     """Per-bucket partial aggregate of live rows under ``spec`` (vectorized
     Arrow groupby — no Python row loop). Exact totals when every group lives
@@ -152,6 +199,8 @@ def view_partials(live: pa.Table, spec: ViewSpec = DEFAULT_SPEC) -> pa.Table:
     if live.num_rows == 0:
         return None
     cols = {spec.key: live[spec.key]}
+    if spec.window_s:
+        cols["win_start"] = _win_start(live[spec.time_col], spec.window_s)
     aggregations = []
     for a in spec.aggs:
         if a.kind == "count":
@@ -167,8 +216,8 @@ def view_partials(live: pa.Table, spec: ViewSpec = DEFAULT_SPEC) -> pa.Table:
             )
         cols[f"__{a.name}"] = src
         aggregations.append((f"__{a.name}", _AGG_KINDS[a.kind][0]))
-    g = pa.table(cols).group_by(spec.key).aggregate(aggregations)
-    out = {spec.key: g[spec.key]}
+    g = pa.table(cols).group_by(spec.group_keys).aggregate(aggregations)
+    out = {k: g[k] for k in spec.group_keys}
     for a in spec.aggs:
         fn = _AGG_KINDS[a.kind][0]
         src_name = "count_all" if a.kind == "count" else f"__{a.name}_{fn}"
@@ -188,8 +237,8 @@ def view_merge(partials: pa.Table, spec: ViewSpec = DEFAULT_SPEC) -> pa.Table:
     aggregations = [
         (a.name, _AGG_KINDS[a.kind][1]) for a in spec.aggs
     ]
-    g = partials.group_by(spec.key).aggregate(aggregations)
-    out = {spec.key: g[spec.key]}
+    g = partials.group_by(spec.group_keys).aggregate(aggregations)
+    out = {k: g[k] for k in spec.group_keys}
     for a in spec.aggs:
         col = g[f"{a.name}_{_AGG_KINDS[a.kind][1]}"]
         if a.kind in ("count", "nn_count"):
@@ -275,6 +324,8 @@ def refresh_matview(
         # aggregate sees the rows, so they are not valid spec inputs.
         known = set(lake_man.schema_names) - {"lsn", "op"}
         wanted = {spec.key} | {a.col for a in spec.aggs if a.col}
+        if spec.time_col:
+            wanted.add(spec.time_col)
         missing = sorted(wanted - known)
         if missing:
             raise ValueError(
@@ -302,7 +353,11 @@ def refresh_matview(
     # columns, so only those (plus the always-read LWW key columns) are
     # decoded from Parquet — at transcript scale a non-text view skips
     # ~all payload I/O (stages/merge.resolve_bucket columns=…)
-    view_cols = sorted({spec.key} | {a.col for a in spec.aggs if a.col})
+    view_cols = sorted(
+        {spec.key}
+        | {a.col for a in spec.aggs if a.col}
+        | ({spec.time_col} if spec.time_col else set())
+    )
 
     @ray.remote
     def _recompute(bucket: int, files: list):
@@ -343,7 +398,9 @@ def refresh_matview(
         new_watermark_lsn=lake_man.global_watermark(),
         replace_buckets=replace,
         schema_names=(
-            [spec.key, *(a.name for a in spec.aggs)] if schema_b64 else None
+            [*spec.group_keys, *(a.name for a in spec.aggs)]
+            if schema_b64
+            else None
         ),
         schema_ipc=schema_b64,
         metrics={
@@ -399,7 +456,10 @@ def read_matview(mv_dir: str, version: int | None = None):
     # hive partition column of the view
     ds = ray.data.read_parquet(paths, partitioning=None)
     if man.salt_factor == 1 and spec.key == "conv_id":
+        # bucket-local groups (a window split is still within the conv's
+        # bucket) — the stored partials are already exact, zero shuffle
         return ds
-    return ds.groupby(spec.key).map_groups(
+    keys = spec.group_keys
+    return ds.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
         lambda t: view_merge(t, spec), batch_format="pyarrow"
     )

@@ -276,3 +276,100 @@ def test_salted_lake_partials_merge(ray_session, binlog_dir, tmp_path):
     build_matview(salted_lake, mv_salted)
     # stored partials differ (per-bucket splits), the merged view does not
     assert _mv_sorted(mv_plain).equals(_mv_sorted(mv_salted))
+
+
+def test_windowed_view_incremental_and_late_events(
+    ray_session, binlog_dir, tmp_path
+):
+    """Tumbling-window spec (time_col/window_s): the incrementally
+    maintained role × hour view equals a full rebuild AND a from-scratch
+    pandas window aggregate over the oracle final table; a late
+    out-of-order event lands in ITS OWN (event-time) window on the next
+    refresh, not the arrival-time one. Also pins the salted-lake merge
+    for windowed specs ("mv_role_hourly" drives the same spec through the
+    driver contract in test_round3)."""
+    import pandas as pd
+
+    from clinical_trials_etl_ray.oracle import oracle_final_table
+    from clinical_trials_etl_ray.stages.matview import ViewAgg, ViewSpec
+    from clinical_trials_etl_ray.synth import generate_events
+
+    spec = ViewSpec(
+        key="role",
+        aggs=(
+            ViewAgg("n_turns", "count"),
+            ViewAgg("chars", "sum_utf8_len", "text"),
+        ),
+        time_col="ts",
+        window_s=3600,
+    )
+
+    def _read(mv_dir: str) -> pd.DataFrame:
+        return (
+            read_matview(mv_dir)
+            .to_pandas()
+            .sort_values(["role", "win_start"])
+            .reset_index(drop=True)[["role", "win_start", "n_turns", "chars"]]
+        )
+
+    lake = str(tmp_path / "lake")
+    shards = _shards(binlog_dir)
+    replay(shards[:4], lake, num_buckets=16, files_per_chunk=2)
+    mv_inc = str(tmp_path / "mv_inc")
+    build_matview(lake, mv_inc, spec=spec)
+
+    # stream the remaining shards, refresh incrementally (stored spec
+    # governs — no restatement needed)
+    replay(shards, lake, num_buckets=16, files_per_chunk=2)
+    rep = refresh_matview(lake, mv_inc)
+    assert 0 < rep.buckets_refreshed
+
+    mv_full = str(tmp_path / "mv_full")
+    build_matview(lake, mv_full, spec=spec)
+    pd.testing.assert_frame_equal(_read(mv_inc), _read(mv_full))
+
+    # oracle: single-process final table, windows floored to the hour
+    final = oracle_final_table(generate_events(SPEC)).to_pandas()
+    final["win_start"] = final["ts"].dt.floor("h")
+    want = (
+        final.groupby(["role", "win_start"], as_index=False)
+        .agg(
+            n_turns=("role", "size"),
+            chars=("text", lambda s: int(s.fillna("").str.len().sum())),
+        )
+        .sort_values(["role", "win_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(_read(mv_inc), want, check_dtype=False)
+
+    # a LATE event: arrives after everything else (max lsn) but carries an
+    # old event time far below every existing window — the refresh must
+    # add it to its event-time window
+    import pyarrow as pa
+
+    from clinical_trials_etl_ray.schema import EVENT_SCHEMA
+
+    late_ts = pd.Timestamp("1999-12-31 23:30:00")
+    late = pa.table(
+        {
+            "lsn": pa.array([10**9], pa.int64()),
+            "op": ["insert"],
+            "conv_id": ["late-conv"],
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": ["user"],
+            "text": ["late!"],
+            "tool": pa.array([None], pa.string()),
+            "ts": pa.array([late_ts], pa.timestamp("us")),
+        }
+    ).cast(EVENT_SCHEMA)
+    late_shard = str(tmp_path / "late.parquet")
+    import pyarrow.parquet as pq
+
+    pq.write_table(late, late_shard)
+    replay([late_shard], lake, num_buckets=16, files_per_chunk=1)
+    rep2 = refresh_matview(lake, mv_inc)
+    assert rep2.buckets_refreshed >= 1  # only the late event's bucket
+    got = _read(mv_inc)
+    row = got[got.win_start == late_ts.floor("h")]
+    assert len(row) == 1 and row.iloc[0].n_turns == 1
+    assert row.iloc[0].chars == len("late!")

@@ -32,6 +32,7 @@ SF = "/root/testdata/sf0.001"
         # every remaining tail oracle-bearing query, driven BY NAME through
         # the driver contract (the meta-test below fails if any is missing)
         "mv_conv_stats",
+        "mv_role_hourly",
         "render_conversations",
         "decontaminate_docs",
         "quantiles_by_lang",
