@@ -75,6 +75,7 @@ _TAIL = [
     "near_dup_clusters",    # oracle-bearing; pytest-enforced (window is full)
     "decontaminate_docs",   # oracle-bearing; pytest-enforced (window is full)
     "quantiles_by_lang",    # oracle-bearing; pytest-enforced (window is full)
+    "approx_quantiles_lang",  # rows-only (log-binned quantile sketch)
     "stratified_sample",    # oracle-bearing; pytest-enforced (window is full)
     "dedup_incremental",    # oracle-bearing; pytest-enforced (window is full)
     "repetition_scores",    # oracle-bearing; pytest-enforced (window is full)

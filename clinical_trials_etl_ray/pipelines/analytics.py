@@ -965,6 +965,30 @@ def q_quantiles_by_lang(sf_dir: str):
     return partials.groupby("lang").map_groups(quantiles_group, batch_format="pandas")
 
 
+def q_approx_quantiles_lang(sf_dir: str, rel_err: float = 0.01):
+    """Approximate grouped quantiles via the log-binned quantile sketch
+    (stages/sketch.approx_quantiles_by) — the SCALE companion to the exact
+    ``quantiles_by_lang``: the exact path's exchange grows with
+    distinct-value cardinality, the sketch's is O(groups × ~700 bins) no
+    matter how wide the domain, with a deterministic ≤ rel_err relative
+    error (fixed bins, order-invariant merges — unlike KLL/t-digest).
+    Rows-only by design (approximate); the error bound and
+    parallelism-invariance are pytest-pinned against DuckDB exact
+    quantiles (test_quantile_sketch.py)."""
+    import os as _os
+
+    import ray.data
+
+    from ..stages.sketch import approx_quantiles_by
+
+    ds = ray.data.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["lang", "n_chars"]
+    )
+    return approx_quantiles_by(
+        ds, "lang", "n_chars", qs=(0.5, 0.9, 0.99), rel_err=rel_err
+    )
+
+
 def q_stratified_sample(sf_dir: str, k: int = 10):
     """Deterministic stratified sampling: k docs per lang, ranked by
     (md5(text), doc_id) — a content-hash order, so the sample is stable
@@ -1005,6 +1029,7 @@ def q_stratified_sample(sf_dir: str, k: int = 10):
 QUERIES = {
     "count_lineitem": q_count_lineitem,
     "quantiles_by_lang": q_quantiles_by_lang,
+    "approx_quantiles_lang": q_approx_quantiles_lang,
     "stratified_sample": q_stratified_sample,
     "order_last_event_asof": q_order_last_event_asof,
     "order_followups_window": q_order_followups_window,

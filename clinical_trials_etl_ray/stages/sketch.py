@@ -250,3 +250,104 @@ def heavy_hitters(ds, col: str, phi_denom: int, k: int | None = None):
         "key": pa.array([r[0] for r in rows], pa.string()),
         "n": pa.array([r[1] for r in rows], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Log-binned quantile sketch (deterministic, mergeable, fixed bins)
+# ---------------------------------------------------------------------------
+#
+# The scale path for (grouped) quantiles when the value domain is too wide
+# for the exact value-count histogram (pipelines/analytics.q_quantiles_by_lang
+# — exact, but its exchange grows with distinct-value cardinality): bins are
+# FIXED log-spaced intervals [γ^k, γ^(k+1)) with γ = (1 + rel_err)², so the
+# per-batch partial is a tiny (bin → count) vector, merge is plain addition
+# in ANY order (fixed bins ⇒ fully deterministic at any parallelism — unlike
+# KLL/t-digest whose state depends on merge order), and the reported
+# quantile — the geometric midpoint γ^(k+1/2) of the rank's bin — is within
+# a factor (1 + rel_err) of a TRUE rank-ceil(q·n) element. ~700 bins span
+# 1..10^6 at 1% error; the exchange is O(groups × bins), independent of
+# row count. Zero and negatives get sign-mirrored bins, nulls are excluded
+# (matching SQL quantile aggregates).
+
+_QBIN_OFFSET = np.int64(1) << np.int64(40)  # |k| < 2^40 for any float64
+
+
+def quantile_bin_codes(values: np.ndarray, rel_err: float) -> np.ndarray:
+    """Sign-aware log-bin code per value (vectorized): 0 for v == 0,
+    ±(floor(ln|v|/ln γ) + OFFSET) otherwise. NaNs must be filtered by the
+    caller."""
+    gamma = (1.0 + rel_err) ** 2
+    v = np.asarray(values, dtype=np.float64)
+    codes = np.zeros(len(v), dtype=np.int64)
+    nz = v != 0
+    k = np.floor(np.log(np.abs(v[nz])) / np.log(gamma)).astype(np.int64)
+    codes[nz] = np.sign(v[nz]).astype(np.int64) * (k + _QBIN_OFFSET)
+    return codes
+
+
+def quantile_bin_value(codes: np.ndarray, rel_err: float) -> np.ndarray:
+    """Representative value per bin code — the geometric midpoint, so the
+    relative error vs any true element of the bin is ≤ rel_err."""
+    gamma = (1.0 + rel_err) ** 2
+    c = np.asarray(codes, dtype=np.int64)
+    out = np.zeros(len(c), dtype=np.float64)
+    nz = c != 0
+    k = np.abs(c[nz]) - _QBIN_OFFSET
+    out[nz] = np.sign(c[nz]) * gamma ** (k.astype(np.float64) + 0.5)
+    return out
+
+
+def approx_quantiles_by(
+    ds,
+    key: str,
+    col: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+    rel_err: float = 0.01,
+):
+    """Grouped approximate quantiles over a Ray Dataset: per-batch
+    (key, bin, count) partials (pandas C-level groupby inside map_batches —
+    each batch ships at most groups-in-batch × occupied-bins rows, never the
+    raw values), then ONE groupby over the tiny partials whose finalize
+    sums bins and walks the cumulative histogram. Quantile rule mirrors
+    DuckDB ``quantile_disc`` (rank ceil(q·n)) with each rank's element
+    replaced by its bin midpoint — within rel_err relatively.
+
+    Deterministic at any parallelism: fixed bins, commutative merges.
+    Output: one row per group — key, n, q50/q90/... float columns."""
+
+    qcols = [f"q{int(q * 100)}" for q in qs]
+
+    def precombine(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[[key, col]].dropna()
+        out = pd.DataFrame(
+            {
+                key: sub[key],
+                "code": quantile_bin_codes(sub[col].to_numpy(), rel_err),
+            }
+        )
+        return out.groupby([key, "code"], as_index=False).size().rename(
+            columns={"size": "cnt"}
+        )
+
+    partials = ds.map_batches(precombine, batch_format="pandas")
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {key: pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype="int64"),
+                 **{c: pd.Series([], dtype="float64") for c in qcols}}
+            )
+        kval = g[key].iloc[0]
+        h = g.groupby("code", as_index=False)["cnt"].sum().sort_values("code")
+        codes = h["code"].to_numpy()
+        cum = h["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        row = {key: [kval], "n": [n]}
+        for q, cname in zip(qs, qcols):
+            rank = max(int(np.ceil(q * n)), 1)
+            code = codes[np.searchsorted(cum, rank)]
+            row[cname] = [float(quantile_bin_value(np.array([code]), rel_err)[0])]
+        return pd.DataFrame(row)
+
+    return partials.groupby(key).map_groups(finalize, batch_format="pandas")
