@@ -74,6 +74,7 @@ _TAIL = [
     "render_conversations", # oracle-bearing; pytest-enforced (window is full)
     "near_dup_clusters",    # oracle-bearing; pytest-enforced (window is full)
     "decontaminate_docs",   # oracle-bearing; pytest-enforced (window is full)
+    "decon_cosine",         # oracle-bearing; pytest-enforced (window is full)
     "quantiles_by_lang",    # oracle-bearing; pytest-enforced (window is full)
     "approx_quantiles_lang",  # rows-only (log-binned quantile sketch)
     "stratified_sample",    # oracle-bearing; pytest-enforced (window is full)

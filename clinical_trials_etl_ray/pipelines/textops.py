@@ -797,6 +797,18 @@ def q_near_dup_cosine(sf_dir: str):
     return near_dup_pairs_cosine(sf_dir, threshold=0.4)
 
 
+def q_decon_cosine(sf_dir: str):
+    """Semantic benchmark decontamination (stages/embed.decon_cosine_ids):
+    corpus vectors whose cosine vs any benchmark vector ≥ 0.4 — catches
+    paraphrased eval leakage that the exact n-gram pass
+    (``decontaminate_docs``) cannot. Benchmark = the deterministic
+    ``vec_id % 7 == 0`` slice; broadcast-once matrix, streaming corpus
+    scan, no shuffle."""
+    from ..stages.embed import decon_cosine_ids
+
+    return decon_cosine_ids(sf_dir, threshold=0.4, mod=7, rem=0)
+
+
 def q_near_dup_cosine_lsh(sf_dir: str):
     """Rows-only: approximate (bucketed) variant — the 100-TB path."""
     return near_dup_pairs_lsh(sf_dir, threshold=0.4, n_bits=8)
@@ -986,6 +998,7 @@ QUERIES = {
     "ann_topk_ivf_probe": q_ann_topk_ivf_probe,
     "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
     "near_dup_cosine": q_near_dup_cosine,
+    "decon_cosine": q_decon_cosine,
     "near_dup_cosine_lsh": q_near_dup_cosine_lsh,
     "media_features": q_media_features,
     "media_near_dup": q_media_near_dup,
@@ -1094,6 +1107,17 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
 """
 
+_DECON_COSINE_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+b AS (SELECT emb FROM e WHERE vec_id % 7 = 0),
+c AS (SELECT vec_id, emb FROM e WHERE vec_id % 7 <> 0)
+SELECT c.vec_id,
+       round(max(list_cosine_similarity(c.emb, b.emb)), 6) AS max_cos
+FROM c CROSS JOIN b
+GROUP BY c.vec_id
+HAVING max(list_cosine_similarity(c.emb, b.emb)) >= 0.4
+"""
+
 ORACLE_SQL = {
     "decontaminate_docs": _DECONTAMINATE_SQL,
     # degenerate-input alignment (ADVICE r01): empty/whitespace-only text has
@@ -1197,6 +1221,7 @@ ORACLE_SQL = {
     "ann_topk": _ANN_SQL,
     "ann_topk_ivf": _ANN_SQL,  # nprobe = n_centroids ⇒ exact brute-force
     "near_dup_cosine": _COS_PAIRS_SQL,
+    "decon_cosine": _DECON_COSINE_SQL,
     # quality_scores, lang_id, fingerprint_rolling, simhash_pairs,
     # ann_topk_ivf_probe, near_dup_cosine_lsh, media_features,
     # media_near_dup: rows-only by design (heuristic / approximate).

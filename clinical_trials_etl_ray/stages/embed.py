@@ -726,3 +726,85 @@ def near_dup_pairs_lsh(sf_dir: str, threshold: float = 0.4, n_bits: int = 8):
     path = os.path.join(sf_dir, "embeddings.parquet")
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
     return lsh_pairs(ds, threshold=threshold, n_bits=n_bits)
+
+
+class DeconScorer:
+    """Cross-set cosine scorer for SEMANTIC benchmark decontamination: each
+    corpus batch is scored against the broadcast benchmark matrix; a row is
+    contaminated when its max cosine vs ANY benchmark vector clears the
+    threshold. Same broadcast-once / per-batch-matmul shape as PairScorer."""
+
+    def __init__(self, bench_ref, threshold: float, mod: int, rem: int):
+        import ray
+
+        b = ray.get(bench_ref)
+        self.bench = normalize_rows(b["matrix"])
+        self.threshold = threshold
+        self.mod = mod
+        self.rem = rem
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             "max_cos": pa.array([], pa.float64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        corpus = (vec_ids % self.mod) != self.rem  # bench rows aren't corpus
+        if not corpus.any():
+            return empty
+        vec_ids = vec_ids[corpus]
+        m = normalize_rows(table_to_matrix(batch)[corpus])
+        cos = m @ self.bench.T              # (nb, n_bench)
+        mx = cos.max(axis=1) if cos.shape[1] else np.zeros(len(m))
+        hit = mx >= self.threshold
+        return pa.Table.from_pydict(
+            {
+                "vec_id": vec_ids[hit],
+                "max_cos": np.round(mx[hit], 6),
+            }
+        )
+
+
+def decon_cosine_ids(
+    sf_dir: str, threshold: float = 0.4, mod: int = 7, rem: int = 0
+):
+    """Embedding-space benchmark decontamination — the SEMANTIC companion to
+    the exact n-gram overlap pass (stages/decon.py): corpus vectors whose
+    cosine vs any benchmark vector ≥ threshold are flagged (paraphrased or
+    re-worded eval leakage that exact n-grams miss). The benchmark set is
+    the deterministic ``vec_id % mod == rem`` slice (hermetic, like
+    decontaminate_docs); a real eval suite's embeddings drop in at the same
+    ref. Benchmark matrix built inside ONE Ray task, broadcast once; the
+    corpus streams through a stateless scorer — no shuffle, exchange is
+    O(contaminated rows). Exact (full matmul) — bounded by the benchmark
+    side fitting a worker heap, which an eval suite always does; a
+    100-TB-benchmark variant would route through lsh_pairs' bucketer."""
+    import os
+
+    import ray
+    import ray.data
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+
+    @ray.remote
+    def _bench_matrix(p: str) -> dict:
+        import pyarrow.parquet as pq
+
+        at = pq.read_table(p, columns=["vec_id", "embedding"])
+        ids = at.column("vec_id").to_numpy(zero_copy_only=False)
+        keep = (ids % mod) == rem
+        return {"matrix": table_to_matrix(at)[keep]}
+
+    ref = _bench_matrix.remote(path)
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    return ds.map_batches(
+        DeconScorer,
+        fn_constructor_kwargs={
+            "bench_ref": ref, "threshold": threshold, "mod": mod, "rem": rem,
+        },
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )

@@ -35,6 +35,7 @@ SF = "/root/testdata/sf0.001"
         "mv_role_hourly",
         "render_conversations",
         "decontaminate_docs",
+        "decon_cosine",
         "quantiles_by_lang",
         "stratified_sample",
         "value_buckets",
