@@ -77,6 +77,7 @@ _TAIL = [
     "decon_cosine",         # oracle-bearing; pytest-enforced (window is full)
     "quantiles_by_lang",    # oracle-bearing; pytest-enforced (window is full)
     "approx_quantiles_lang",  # rows-only (log-binned quantile sketch)
+    "approx_distinct_lang",   # rows-only (grouped HLL)
     "stratified_sample",    # oracle-bearing; pytest-enforced (window is full)
     "dedup_incremental",    # oracle-bearing; pytest-enforced (window is full)
     "repetition_scores",    # oracle-bearing; pytest-enforced (window is full)

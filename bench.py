@@ -133,6 +133,11 @@ def bench_queries() -> dict:
         "mv_conv_stats": cdc_queries.QUERIES["mv_conv_stats"],
         "dedup_incremental": textops.QUERIES["dedup_incremental"],
         "heavy_hitter_convs": cdc_queries.QUERIES["heavy_hitter_convs"],
+        # r3 late additions: windowed incremental matview, log-binned
+        # quantile sketch, semantic decontamination
+        "mv_role_hourly": cdc_queries.QUERIES["mv_role_hourly"],
+        "approx_quantiles_lang": analytics.QUERIES["approx_quantiles_lang"],
+        "decon_cosine": textops.QUERIES["decon_cosine"],
     }
     times = {}
     for name, fn in picks.items():

@@ -989,6 +989,25 @@ def q_approx_quantiles_lang(sf_dir: str, rel_err: float = 0.01):
     )
 
 
+def q_approx_distinct_lang(sf_dir: str):
+    """Grouped HyperLogLog distinct (stages/sketch.approx_distinct_by):
+    approx distinct texts per lang — one 4 KiB register row per
+    (batch, key) partial, merged per key in one view-sized groupby; the
+    exchange is independent of row count. Rows-only by design (±1.6% at
+    p=12); determinism/merge/accuracy are pytest-pinned in
+    test_round2b."""
+    import os as _os
+
+    import ray.data
+
+    from ..stages.sketch import approx_distinct_by
+
+    ds = ray.data.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+    return approx_distinct_by(ds, "lang", "text")
+
+
 def q_stratified_sample(sf_dir: str, k: int = 10):
     """Deterministic stratified sampling: k docs per lang, ranked by
     (md5(text), doc_id) — a content-hash order, so the sample is stable
@@ -1030,6 +1049,7 @@ QUERIES = {
     "count_lineitem": q_count_lineitem,
     "quantiles_by_lang": q_quantiles_by_lang,
     "approx_quantiles_lang": q_approx_quantiles_lang,
+    "approx_distinct_lang": q_approx_distinct_lang,
     "stratified_sample": q_stratified_sample,
     "order_last_event_asof": q_order_last_event_asof,
     "order_followups_window": q_order_followups_window,

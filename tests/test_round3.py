@@ -753,3 +753,36 @@ def test_quantiles_histogram_parallelism_invariant(ray_session):
         assert row["n"] == len(vals)
         for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
             assert row[col] == vals[max(int(np.ceil(q * len(vals))), 1) - 1]
+
+
+def test_decon_scorer_edge_batches(ray_session):
+    """DeconScorer guards: a batch of only benchmark rows, an empty batch,
+    and a corpus row identical to a benchmark vector (flagged at cos 1.0).
+    The benchmark-row filter is fused into the scorer, so these edges hit
+    the kernel directly."""
+    import ray
+
+    from clinical_trials_etl_ray.stages.embed import DeconScorer
+
+    bench = np.eye(4)[:2]  # two orthonormal benchmark vectors
+    ref = ray.put({"matrix": bench})
+    s = DeconScorer(bench_ref=ref, threshold=0.9, mod=2, rem=0)
+
+    emb_t = pa.list_(pa.float64())
+    bench_only = pa.table(
+        {"vec_id": pa.array([0, 2], pa.int64()),
+         "embedding": pa.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0]], emb_t)}
+    )
+    out = s(bench_only)
+    assert out.num_rows == 0
+    assert out.schema.names == ["vec_id", "max_cos"]
+
+    assert s(bench_only.slice(0, 0)).num_rows == 0
+
+    corpus = pa.table(
+        {"vec_id": pa.array([3, 5], pa.int64()),
+         "embedding": pa.array(
+             [[2.0, 0, 0, 0], [0, 0, 0, 1.0]], emb_t)}
+    )
+    out = s(corpus)  # vec 3 is a scaled copy of bench[0]; vec 5 orthogonal
+    assert out.to_pydict() == {"vec_id": [3], "max_cos": [1.0]}
