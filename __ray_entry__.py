@@ -71,6 +71,7 @@ _TAIL = [
     "cdc_replica_final",    # oracle-bearing; pytest-enforced (window is full)
     "mv_conv_stats",        # oracle-bearing; pytest-enforced (window is full)
     "mv_role_hourly",       # oracle-bearing; pytest-enforced (window is full)
+    "text_search_index",    # oracle-bearing; pytest-enforced (window is full)
     "render_conversations", # oracle-bearing; pytest-enforced (window is full)
     "near_dup_clusters",    # oracle-bearing; pytest-enforced (window is full)
     "decontaminate_docs",   # oracle-bearing; pytest-enforced (window is full)

@@ -298,6 +298,20 @@ def main(argv=None) -> int:
                     help="(build) event-time column for --window-s "
                          "(default ts)")
 
+    tp = sub.add_parser(
+        "tindex",
+        help="inverted text index over the lake: build / incrementally "
+             "refresh (only buckets with new committed data recompute "
+             "their postings) / search by token from posting lists alone",
+    )
+    tp.add_argument("action", choices=["build", "refresh", "search"])
+    tp.add_argument("lake_dir")
+    tp.add_argument("idx_dir")
+    tp.add_argument("--tokens", nargs="+", default=None,
+                    help="(search) probe tokens")
+    tp.add_argument("--mode", choices=["all", "any"], default="all",
+                    help="(search) require every token (all) or any one")
+
     snp = sub.add_parser(
         "seen",
         help="cross-run incremental dedup: maintain a persisted "
@@ -621,6 +635,29 @@ def main(argv=None) -> int:
                 {"parquet": write_parquet, "csv": write_csv,
                  "json": write_json}[args.format](ds, args.out_dir)
                 print(json.dumps({"out": args.out_dir}))
+        elif args.cmd == "tindex":
+            from .stages.textindex import (
+                build_text_index,
+                refresh_text_index,
+                search_text_index,
+            )
+
+            if args.action in ("build", "refresh"):
+                fn = (
+                    build_text_index
+                    if args.action == "build"
+                    else refresh_text_index
+                )
+                print(json.dumps(fn(args.lake_dir, args.idx_dir).__dict__))
+            else:
+                if not args.tokens:
+                    p.error("tindex search requires --tokens")
+                t = search_text_index(
+                    args.idx_dir, args.tokens, mode=args.mode
+                )
+                print(json.dumps(
+                    {"conv_ids": t["conv_id"].to_pylist(), "mode": args.mode}
+                ))
         elif args.cmd == "seen":
             import ray.data
 

@@ -739,6 +739,56 @@ def q_mv_role_hourly(sf_dir: str):
     return table
 
 
+def q_text_search_index(sf_dir: str):
+    """Incremental inverted text index over the lake (stages/textindex.py):
+    replay half the derived binlog → full index build → replay the rest →
+    INCREMENTAL refresh (only buckets with new committed files recompute
+    their postings) → token search resolved from posting lists alone
+    (token-sorted postings + parquet row-group stats ⇒ storage-level
+    pruning; no corpus scan). Must equal the from-scratch SQL token scan
+    over the final table. Registered beyond the driver's 50-query window;
+    oracle runs in pytest (test_textindex.py drives it by name)."""
+    from ..pipelines.replay import replay
+    from ..stages.textindex import (
+        build_text_index,
+        refresh_text_index,
+        search_text_index,
+    )
+
+    work = tempfile.mkdtemp(prefix="cdc_tidx_", dir="/tmp")
+    binlog_dir = os.path.join(work, "binlog")
+    lake_dir = os.path.join(work, "lake")
+    idx_dir = os.path.join(work, "tidx")
+    derived_binlog_ds(sf_dir).write_parquet(binlog_dir)
+    shards = sorted(
+        os.path.join(binlog_dir, f)
+        for f in os.listdir(binlog_dir)
+        if f.endswith(".parquet")
+    )
+    half = max(1, len(shards) // 2)
+    replay(shards[:half], lake_dir, num_buckets=16, files_per_chunk=4)
+    build_text_index(lake_dir, idx_dir)
+    replay(shards, lake_dir, num_buckets=16, files_per_chunk=4)
+    refresh_text_index(lake_dir, idx_dir)
+    table = search_text_index(
+        idx_dir, ["87}:error", "3}:view"], mode="any"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return table
+
+
+SQL_TEXT_SEARCH_INDEX = f"""
+WITH final AS ({SQL_FINAL}),
+toks AS (
+  SELECT conv_id,
+         unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
+  FROM final
+)
+SELECT DISTINCT conv_id FROM toks
+WHERE tok IN ('87}}:error', '3}}:view')
+"""
+
+
 SQL_MV_ROLE_HOURLY = f"""
 WITH final AS ({SQL_FINAL})
 SELECT role,
@@ -853,6 +903,7 @@ QUERIES = {
     "cdc_replica_final": q_cdc_replica_final,
     "mv_conv_stats": q_mv_conv_stats,
     "mv_role_hourly": q_mv_role_hourly,
+    "text_search_index": q_text_search_index,
     "render_conversations": q_render_conversations,
     "validate_events": q_validate_events,
 }
@@ -873,6 +924,7 @@ ORACLE_SQL = {
     "cdc_replica_final": SQL_FINAL,
     "mv_conv_stats": SQL_MV_CONV_STATS,
     "mv_role_hourly": SQL_MV_ROLE_HOURLY,
+    "text_search_index": SQL_TEXT_SEARCH_INDEX,
     "render_conversations": SQL_RENDER_CONVERSATIONS,
     "validate_events": SQL_VALIDATE_EVENTS,
 }

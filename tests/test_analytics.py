@@ -8,10 +8,23 @@ from tests.util_compare import assert_matches_oracle
 SF = "/root/testdata/sf0.001"
 
 
-@pytest.mark.parametrize("name", list(an.QUERIES))
+@pytest.mark.parametrize(
+    "name", [n for n in an.QUERIES if n in an.ORACLE_SQL]
+)
 def test_analytics_matches_oracle(ray_session, name):
     result = an.QUERIES[name](SF)
     assert_matches_oracle(result, an.ORACLE_SQL[name], SF)
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in an.QUERIES if n not in an.ORACLE_SQL]
+)
+def test_analytics_rows_only_runs(ray_session, name):
+    """Rows-only (approximate-by-design) entries: must execute and return
+    a non-empty, stably-typed result; their accuracy bounds are pinned in
+    their dedicated test files (e.g. test_quantile_sketch.py)."""
+    df = an.QUERIES[name](SF).to_pandas()
+    assert len(df) > 0 and len(df.columns) > 0
 
 
 def test_explode_handles_sliced_and_null_slots():

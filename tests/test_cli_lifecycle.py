@@ -29,7 +29,7 @@ def test_every_subcommand_parses():
 
     for cmd in ("synth", "replay", "compact", "read", "render", "sql",
                 "diff", "delete", "purge", "upsert", "snapshot",
-                "bootstrap", "changes", "sync", "matview", "seen", "stats",
+                "bootstrap", "changes", "sync", "matview", "tindex", "seen", "stats",
                 "oracle", "verify"):
         with pytest.raises(SystemExit) as ei:
             cli_mod.main([cmd, "--help"])
@@ -88,3 +88,12 @@ def test_lifecycle_cli_end_to_end(tmp_path):
     lake2 = str(tmp_path / "lake2")
     b = _cli("bootstrap", snap, lake2, "--buckets", "2")
     assert b["rows_loaded"] > 0
+
+    idx = str(tmp_path / "tidx")
+    t = _cli("tindex", "build", lake, idx)
+    assert t["postings_written"] > 0
+    # the upserted text is searchable; AND across its tokens hits conv c20
+    res = _cli("tindex", "search", lake, idx,
+               "--tokens", "cli", "lifecycle", "--mode", "all")
+    assert res["conv_ids"] == ["c20"]
+    assert _cli("tindex", "refresh", lake, idx)["buckets_refreshed"] == 0

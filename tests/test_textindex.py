@@ -1,0 +1,112 @@
+"""Incremental inverted text index (stages/textindex.py).
+
+Pins: the driver-contract query "text_search_index" equals its DuckDB
+token-scan oracle; incremental refresh ≡ full rebuild with only touched
+buckets recomputed; AND/OR semantics; updates and deletes retire stale
+postings (bucket recompute is from LIVE rows); a no-change refresh is a
+zero-bucket no-op.
+"""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from util_compare import assert_matches_oracle
+
+from clinical_trials_etl_ray.pipelines.replay import replay
+from clinical_trials_etl_ray.schema import EVENT_SCHEMA
+from clinical_trials_etl_ray.stages.textindex import (
+    build_text_index,
+    refresh_text_index,
+    search_text_index,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_text_search_index_matches_oracle(ray_session):
+    import __ray_entry__ as entrymod
+
+    name = "text_search_index"
+    assert_matches_oracle(
+        entrymod.queries()[name](SF), entrymod.oracle_sql()[name], SF
+    )
+
+
+def _event(lsn, conv, turn, text, op="insert"):
+    return {
+        "lsn": lsn, "op": op, "conv_id": conv, "turn_idx": turn,
+        "role": "user", "text": text, "tool": None, "ts": lsn,
+    }
+
+
+def _write_shard(path, events):
+    cols = {k: [e[k] for e in events] for k in events[0]}
+    t = pa.table(
+        {
+            "lsn": pa.array(cols["lsn"], pa.int64()),
+            "op": pa.array(cols["op"], pa.string()),
+            "conv_id": pa.array(cols["conv_id"], pa.string()),
+            "turn_idx": pa.array(cols["turn_idx"], pa.int32()),
+            "role": pa.array(cols["role"], pa.string()),
+            "text": pa.array(cols["text"], pa.string()),
+            "tool": pa.array(cols["tool"], pa.string()),
+            "ts": pa.array(cols["ts"], pa.timestamp("us")),
+        }
+    ).cast(EVENT_SCHEMA)
+    pq.write_table(t, path)
+
+
+def test_and_or_update_delete_semantics(ray_session, tmp_path):
+    lake = str(tmp_path / "lake")
+    idx = str(tmp_path / "tidx")
+    s1 = str(tmp_path / "s1.parquet")
+    _write_shard(
+        s1,
+        [
+            _event(1, "a", 0, "red apple pie"),
+            _event(2, "a", 1, "green tea"),
+            _event(3, "b", 0, "red wine"),
+            _event(4, "c", 0, "Apple RED"),  # case-folded at index time
+        ],
+    )
+    replay([s1], lake, num_buckets=4, files_per_chunk=1)
+    r = build_text_index(lake, idx)
+    assert r.postings_written > 0
+
+    def ids(tokens, mode):
+        return search_text_index(idx, tokens, mode=mode)["conv_id"].to_pylist()
+
+    assert ids(["red"], "all") == ["a", "b", "c"]
+    assert ids(["red", "apple"], "all") == ["a", "c"]
+    assert ids(["apple", "wine"], "any") == ["a", "b", "c"]
+    # AND is per-CONVERSATION, across turns: "pie" (turn 0) and "tea"
+    # (turn 1) both belong to conv a
+    assert ids(["pie", "tea"], "all") == ["a"]
+    assert ids(["REd"], "all") == ["a", "b", "c"]  # probe case-folds too
+    assert ids(["missing"], "any") == []
+    assert ids([], "any") == []
+
+    # update retires a stale posting; delete drops the conv's contribution
+    s2 = str(tmp_path / "s2.parquet")
+    _write_shard(
+        s2,
+        [
+            _event(5, "b", 0, "white wine", op="update"),
+            _event(6, "c", 0, None, op="delete"),
+        ],
+    )
+    replay([s2], lake, num_buckets=4, files_per_chunk=1)
+    r2 = refresh_text_index(lake, idx)
+    # only the buckets holding convs b and c recompute
+    assert 1 <= r2.buckets_refreshed <= 2
+    assert ids(["red"], "all") == ["a"]
+    assert ids(["white", "wine"], "all") == ["b"]
+
+    # incremental result ≡ full rebuild; nothing new ⇒ zero-bucket no-op
+    idx_full = str(tmp_path / "tidx_full")
+    build_text_index(lake, idx_full)
+    assert (
+        search_text_index(idx_full, ["red"], mode="any")["conv_id"].to_pylist()
+        == ids(["red"], "any")
+    )
+    assert refresh_text_index(lake, idx).buckets_refreshed == 0
