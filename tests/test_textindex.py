@@ -110,3 +110,42 @@ def test_and_or_update_delete_semantics(ray_session, tmp_path):
         == ids(["red"], "any")
     )
     assert refresh_text_index(lake, idx).buckets_refreshed == 0
+
+
+def test_index_follows_delete_and_purge(ray_session, tmp_path):
+    """Retention lifecycle ops rewrite bucket file lists, so the
+    fingerprint loop must pick them up: after delete_where a tombstoned
+    conv leaves the posting lists on refresh; after purge_conv (physical
+    rewrite) likewise — and the refresh touches only affected buckets."""
+    from clinical_trials_etl_ray.pipelines.retention import (
+        delete_where,
+        purge_conv,
+    )
+
+    lake = str(tmp_path / "lake")
+    idx = str(tmp_path / "tidx")
+    s1 = str(tmp_path / "s1.parquet")
+    _write_shard(
+        s1,
+        [
+            _event(1, "a", 0, "alpha common"),
+            _event(2, "b", 0, "beta common"),
+            _event(3, "c", 0, "gamma common"),
+        ],
+    )
+    replay([s1], lake, num_buckets=4, files_per_chunk=1)
+    build_text_index(lake, idx)
+
+    def ids(tok):
+        return search_text_index(idx, [tok], mode="any")["conv_id"].to_pylist()
+
+    assert ids("common") == ["a", "b", "c"]
+
+    delete_where(lake, conv_id="a")
+    r = refresh_text_index(lake, idx)
+    assert r.buckets_refreshed >= 1
+    assert ids("common") == ["b", "c"] and ids("alpha") == []
+
+    purge_conv(lake, "b")
+    refresh_text_index(lake, idx)
+    assert ids("common") == ["c"] and ids("beta") == []
