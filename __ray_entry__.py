@@ -72,6 +72,7 @@ _TAIL = [
     "mv_conv_stats",        # oracle-bearing; pytest-enforced (window is full)
     "mv_role_hourly",       # oracle-bearing; pytest-enforced (window is full)
     "text_search_index",    # oracle-bearing; pytest-enforced (window is full)
+    "bm25_rank",            # oracle-bearing; pytest-enforced (window is full)
     "render_conversations", # oracle-bearing; pytest-enforced (window is full)
     "near_dup_clusters",    # oracle-bearing; pytest-enforced (window is full)
     "decontaminate_docs",   # oracle-bearing; pytest-enforced (window is full)

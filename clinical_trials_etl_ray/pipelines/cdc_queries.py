@@ -777,6 +777,65 @@ def q_text_search_index(sf_dir: str):
     return table
 
 
+def q_bm25_rank(sf_dir: str):
+    """BM25 ranked retrieval from the inverted index
+    (stages/textindex.rank_text_index): same build/refresh flow as
+    ``text_search_index``, then score the probed tokens' matched
+    conversations with BM25 (k1=1.2, b=0.75) — postings carry
+    conversation-level term frequencies, doclen files carry dl, and the
+    corpus constants (N, avgdl) come from the doclen files, so ranking
+    never touches the corpus. ALL matched convs are returned (no top-k
+    cut) with scores rounded to 1e-6 so the SQL oracle's float-sum-order
+    differences can't flip a boundary. Registered beyond the driver's
+    50-query window; oracle runs in pytest (test_textindex.py)."""
+    from ..pipelines.replay import replay
+    from ..stages.textindex import build_text_index, rank_text_index
+
+    work = tempfile.mkdtemp(prefix="cdc_bm25_", dir="/tmp")
+    binlog_dir = os.path.join(work, "binlog")
+    lake_dir = os.path.join(work, "lake")
+    idx_dir = os.path.join(work, "tidx")
+    derived_binlog_ds(sf_dir).write_parquet(binlog_dir)
+    replay(binlog_dir, lake_dir, num_buckets=16, files_per_chunk=4)
+    build_text_index(lake_dir, idx_dir)
+    table = rank_text_index(
+        idx_dir, ["87}:error", "3}:view"], k=10**9
+    )
+    out = table.set_column(
+        1, "score", pa.compute.round(table["score"], 6)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+SQL_BM25_RANK = f"""
+WITH final AS ({SQL_FINAL}),
+toks AS (
+  SELECT conv_id,
+         unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
+  FROM final
+),
+toks2 AS (SELECT conv_id, tok FROM toks WHERE tok <> ''),
+dl AS (SELECT conv_id, count(*) AS dl FROM toks2 GROUP BY conv_id),
+consts AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+),
+tf AS (
+  SELECT conv_id, tok, count(*) AS tf FROM toks2
+  WHERE tok IN ('87}}:error', '3}}:view') GROUP BY conv_id, tok
+),
+df AS (SELECT tok, count(DISTINCT conv_id) AS df FROM tf GROUP BY tok)
+SELECT tf.conv_id,
+  round(sum(
+    ln(1 + (consts.n_docs - df.df + 0.5) / (df.df + 0.5))
+    * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / consts.avgdl))
+  ), 6) AS score
+FROM tf
+JOIN df USING (tok) JOIN dl USING (conv_id) CROSS JOIN consts
+GROUP BY tf.conv_id
+"""
+
+
 SQL_TEXT_SEARCH_INDEX = f"""
 WITH final AS ({SQL_FINAL}),
 toks AS (
@@ -904,6 +963,7 @@ QUERIES = {
     "mv_conv_stats": q_mv_conv_stats,
     "mv_role_hourly": q_mv_role_hourly,
     "text_search_index": q_text_search_index,
+    "bm25_rank": q_bm25_rank,
     "render_conversations": q_render_conversations,
     "validate_events": q_validate_events,
 }
@@ -925,6 +985,7 @@ ORACLE_SQL = {
     "mv_conv_stats": SQL_MV_CONV_STATS,
     "mv_role_hourly": SQL_MV_ROLE_HOURLY,
     "text_search_index": SQL_TEXT_SEARCH_INDEX,
+    "bm25_rank": SQL_BM25_RANK,
     "render_conversations": SQL_RENDER_CONVERSATIONS,
     "validate_events": SQL_VALIDATE_EVENTS,
 }

@@ -53,30 +53,53 @@ class TextIndexReport:
 
 
 _POSTING_SCHEMA = pa.schema(
-    [pa.field("token", pa.string()), pa.field("conv_id", pa.string())]
+    [
+        pa.field("token", pa.string()),
+        pa.field("conv_id", pa.string()),
+        pa.field("tf", pa.int64()),
+    ]
+)
+
+_DOCLEN_SCHEMA = pa.schema(
+    [pa.field("conv_id", pa.string()), pa.field("dl", pa.int64())]
 )
 
 
-def bucket_postings(live: pa.Table) -> pa.Table:
-    """Distinct (token, conv_id) postings of a bucket's live rows,
-    token-sorted so parquet row-group min/max stats prune probes.
-    Vectorized: pandas str split + explode, one drop_duplicates."""
+def bucket_postings(live: pa.Table) -> tuple:
+    """(postings, doclens) of a bucket's live rows. Postings are distinct
+    (token, conv_id) with the conversation-level term frequency ``tf``,
+    token-sorted so parquet row-group min/max stats prune probes; doclens
+    are tokens-per-conversation (BM25's ``dl``), conv-sorted for
+    candidate-filtered reads. Vectorized: pandas str split + explode, one
+    C-level groupby each."""
     if live.num_rows == 0:
-        return _POSTING_SCHEMA.empty_table()
+        return _POSTING_SCHEMA.empty_table(), _DOCLEN_SCHEMA.empty_table()
     s = live.select(["conv_id", "text"]).to_pandas()
     toks = s["text"].fillna("").str.lower().str.split(" ")
     n = toks.str.len().to_numpy()
     flat = np.concatenate(toks.to_numpy()) if n.sum() else np.array([], object)
-    out = pd.DataFrame(
+    pairs = pd.DataFrame(
         {
             "token": flat,
             "conv_id": s["conv_id"].to_numpy().repeat(n),
         }
     )
-    out = out[out["token"] != ""].drop_duplicates()
-    out = out.sort_values(["token", "conv_id"], kind="stable")
-    return pa.Table.from_pandas(out, preserve_index=False).cast(
-        _POSTING_SCHEMA
+    pairs = pairs[pairs["token"] != ""]
+    out = (
+        pairs.groupby(["token", "conv_id"], as_index=False)
+        .size()
+        .rename(columns={"size": "tf"})
+        .sort_values(["token", "conv_id"], kind="stable")
+    )
+    dl = (
+        pairs.groupby("conv_id", as_index=False)
+        .size()
+        .rename(columns={"size": "dl"})
+        .sort_values("conv_id", kind="stable")
+    )
+    return (
+        pa.Table.from_pandas(out, preserve_index=False).cast(_POSTING_SCHEMA),
+        pa.Table.from_pandas(dl, preserve_index=False).cast(_DOCLEN_SCHEMA),
     )
 
 
@@ -108,7 +131,7 @@ def refresh_text_index(
     def _recompute(bucket: int, files: list):
         from ..functions.hashing import content_hash
 
-        postings = bucket_postings(
+        postings, doclens = bucket_postings(
             live_rows(
                 resolve_bucket(
                     lake_dir, bucket, files, columns=["conv_id", "text"]
@@ -116,26 +139,29 @@ def refresh_text_index(
             )
         )
         if postings.num_rows == 0:
-            return bucket, None
-        h = content_hash(postings)
-        path = _write_immutable(
-            postings, bucket_dir(idx_dir, bucket), f"tidx-{h}.parquet"
-        )
-        return bucket, {
-            "path": os.path.relpath(path, idx_dir),
-            "kind": "tidx",
-            "content_hash": h,
-            "row_count": postings.num_rows,
-            "min_lsn": -1,
-            "max_lsn": -1,
-        }
+            return bucket, []
+        infos = []
+        for kind, table in (("tidx", postings), ("tlen", doclens)):
+            h = content_hash(table)
+            path = _write_immutable(
+                table, bucket_dir(idx_dir, bucket), f"{kind}-{h}.parquet"
+            )
+            infos.append({
+                "path": os.path.relpath(path, idx_dir),
+                "kind": kind,
+                "content_hash": h,
+                "row_count": table.num_rows,
+                "min_lsn": -1,
+                "max_lsn": -1,
+            })
+        return bucket, infos
 
     replace, rows = {}, 0
-    for bucket, info in ray.get(
+    for bucket, infos in ray.get(
         [_recompute.remote(b, fs) for b, fs in todo]
     ):
-        replace[bucket] = [info] if info else []
-        rows += info["row_count"] if info else 0
+        replace[bucket] = infos
+        rows += sum(i["row_count"] for i in infos if i["kind"] == "tidx")
 
     idx_man = idx_man.commit(
         [],
@@ -195,7 +221,9 @@ def search_text_index(
     futures = []
     for b in range(man.num_buckets):
         paths = [
-            os.path.join(idx_dir, f["path"]) for f in man.files_for_bucket(b)
+            os.path.join(idx_dir, f["path"])
+            for f in man.files_for_bucket(b)
+            if f["kind"] == "tidx"
         ]
         if paths:
             futures.append(_probe_bucket.remote(paths))
@@ -204,7 +232,7 @@ def search_text_index(
         if futures
         else _POSTING_SCHEMA.empty_table()
     )
-    df = matched.to_pandas().drop_duplicates()
+    df = matched.to_pandas().drop_duplicates(["token", "conv_id"])
     if df.empty:
         return pa.table({"conv_id": pa.array([], pa.string())})
     if mode == "any":
@@ -213,3 +241,114 @@ def search_text_index(
         per_conv = df.groupby("conv_id")["token"].nunique()
         convs = per_conv[per_conv == len(probe)].index.to_numpy()
     return pa.table({"conv_id": pa.array(sorted(convs), pa.string())})
+
+
+def rank_text_index(
+    idx_dir: str,
+    tokens: list,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> pa.Table:
+    """BM25-ranked top-k conversations for ``tokens`` — resolved from the
+    index alone, never the corpus.
+
+    Cost shape: probe the posting lists (storage-pruned, as in
+    ``search_text_index``) → the candidate set is the matched convs; their
+    ``dl`` values come from the conv-sorted doclen files via a
+    candidate-filtered parquet read (result-sized); the corpus constants
+    N and avgdl are exact sums over the doclen files' parquet FOOTER
+    metadata (num_rows + column statistics are not enough for the token
+    sum, so one tiny aggregate read of the dl column per bucket — still
+    O(convs), metadata-light, and independent of text size). df per token
+    is the probed posting-list length (exact). Deterministic: ties break
+    by conv_id ascending.
+
+    Output: (conv_id, score float64 rounded to 9) — top ``k`` by score
+    desc, conv_id asc."""
+    import pyarrow.dataset as pads
+    import ray
+
+    probe = sorted({t.lower() for t in tokens if t})
+    empty = pa.table(
+        {"conv_id": pa.array([], pa.string()),
+         "score": pa.array([], pa.float64())}
+    )
+    if not probe:
+        return empty
+    man = Manifest.load(idx_dir)
+    tidx_paths, tlen_paths = [], []
+    for bkt in range(man.num_buckets):
+        for f in man.files_for_bucket(bkt):
+            (tidx_paths if f["kind"] == "tidx" else tlen_paths).append(
+                os.path.join(idx_dir, f["path"])
+            )
+    if not tidx_paths:
+        return empty
+
+    @ray.remote
+    def _probe(paths: list):
+        t = pads.dataset(paths, format="parquet").to_table(
+            filter=pads.field("token").isin(probe)
+        )
+        return t
+
+    salted = man.salt_factor > 1
+
+    @ray.remote
+    def _len_stats(paths: list):
+        import pyarrow.compute as pc
+
+        cols = ["conv_id", "dl"] if salted else ["dl"]
+        t = pads.dataset(paths, format="parquet").to_table(columns=cols)
+        n = (
+            pc.count_distinct(t["conv_id"]).as_py()  # conv spans sub-buckets
+            if salted
+            else t.num_rows
+        )
+        return n, int(pc.sum(t["dl"]).as_py() or 0)
+
+    matched_f = _probe.remote(tidx_paths)
+    stats_f = _len_stats.remote(tlen_paths)
+    matched = ray.get(matched_f).to_pandas()
+    n_docs, total_tokens = ray.get(stats_f)
+    if matched.empty or n_docs == 0:
+        return empty
+    # salted lakes split a conv across buckets: fold partial tfs (and,
+    # below, partial dls) before the nonlinear BM25 term
+    matched = matched.groupby(["token", "conv_id"], as_index=False)["tf"].sum()
+    avgdl = total_tokens / n_docs
+
+    cands = sorted(matched["conv_id"].unique())
+
+    @ray.remote
+    def _cand_lens(paths: list, cand: list):
+        return pads.dataset(paths, format="parquet").to_table(
+            filter=pads.field("conv_id").isin(cand)
+        )
+
+    dl = ray.get(_cand_lens.remote(tlen_paths, cands)).to_pandas()
+    dl_map = dl.groupby("conv_id")["dl"].sum()
+
+    df_per_token = matched.groupby("token")["conv_id"].nunique()
+    idf = np.log(
+        1.0 + (n_docs - df_per_token + 0.5) / (df_per_token + 0.5)
+    )
+    m = matched.copy()
+    m["idf"] = m["token"].map(idf)
+    m["dl"] = m["conv_id"].map(dl_map).astype(float)
+    tf = m["tf"].to_numpy().astype(float)
+    denom = tf + k1 * (1.0 - b + b * m["dl"].to_numpy() / avgdl)
+    m["part"] = m["idf"].to_numpy() * tf * (k1 + 1.0) / denom
+    scores = (
+        m.groupby("conv_id", as_index=False)["part"].sum()
+        .rename(columns={"part": "score"})
+    )
+    scores["score"] = scores["score"].round(9)
+    scores = scores.sort_values(
+        ["score", "conv_id"], ascending=[False, True], kind="stable"
+    ).head(k)
+    return pa.Table.from_pandas(scores, preserve_index=False).cast(
+        pa.schema([pa.field("conv_id", pa.string()),
+                   pa.field("score", pa.float64())])
+    )

@@ -149,3 +149,54 @@ def test_index_follows_delete_and_purge(ray_session, tmp_path):
     purge_conv(lake, "b")
     refresh_text_index(lake, idx)
     assert ids("common") == ["c"] and ids("beta") == []
+
+
+def test_bm25_rank_matches_oracle(ray_session):
+    import __ray_entry__ as entrymod
+
+    name = "bm25_rank"
+    assert_matches_oracle(
+        entrymod.queries()[name](SF), entrymod.oracle_sql()[name], SF
+    )
+
+
+def test_bm25_ranking_order_and_salted_merge(ray_session, tmp_path):
+    """Hand-built corpus: tf dominance ranks a repeated-token conv above a
+    single-mention conv; a rare token outscores a common one (idf); the
+    same corpus on a SALTED lake (conv split across sub-buckets, partial
+    tf/dl folded before the nonlinear BM25 term) ranks identically."""
+    from clinical_trials_etl_ray.stages.textindex import rank_text_index
+
+    events = [
+        _event(1, "hot", 0, "needle needle needle hay"),
+        _event(2, "warm", 0, "needle hay hay hay"),
+        _event(3, "cold", 0, "hay hay hay hay"),
+        _event(4, "rare", 0, "zebra hay"),
+        _event(5, "hot", 1, "needle again"),
+    ]
+
+    def build(lake, idx, salt):
+        s = str(tmp_path / f"s_{salt}.parquet")
+        _write_shard(s, events)
+        replay([s], lake, num_buckets=4, files_per_chunk=1,
+               hot_key_salt=salt)
+        build_text_index(lake, idx)
+
+    ranks = {}
+    for salt in (1, 3):
+        lake = str(tmp_path / f"lake{salt}")
+        idx = str(tmp_path / f"idx{salt}")
+        build(lake, idx, salt)
+        got = rank_text_index(idx, ["needle"], k=10).to_pandas()
+        assert list(got["conv_id"]) == ["hot", "warm"]  # tf 4 beats tf 1
+        assert got["score"].iloc[0] > got["score"].iloc[1] > 0
+        ranks[salt] = got
+        # idf: the 1-conv token scores a hit above the every-conv token
+        z = rank_text_index(idx, ["zebra"], k=10).to_pandas()
+        h = rank_text_index(idx, ["hay"], k=10).to_pandas()
+        assert z["score"].iloc[0] > h["score"].max()
+        # top-k cut respects k
+        assert len(rank_text_index(idx, ["hay"], k=2)) == 2
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(ranks[1], ranks[3])
