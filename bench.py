@@ -138,6 +138,7 @@ def bench_queries() -> dict:
         "mv_role_hourly": cdc_queries.QUERIES["mv_role_hourly"],
         "approx_quantiles_lang": analytics.QUERIES["approx_quantiles_lang"],
         "decon_cosine": textops.QUERIES["decon_cosine"],
+        "text_search_index": cdc_queries.QUERIES["text_search_index"],
     }
     times = {}
     for name, fn in picks.items():

@@ -304,13 +304,15 @@ def main(argv=None) -> int:
              "refresh (only buckets with new committed data recompute "
              "their postings) / search by token from posting lists alone",
     )
-    tp.add_argument("action", choices=["build", "refresh", "search"])
+    tp.add_argument("action", choices=["build", "refresh", "search", "rank"])
     tp.add_argument("lake_dir")
     tp.add_argument("idx_dir")
     tp.add_argument("--tokens", nargs="+", default=None,
-                    help="(search) probe tokens")
+                    help="(search/rank) probe tokens")
     tp.add_argument("--mode", choices=["all", "any"], default="all",
                     help="(search) require every token (all) or any one")
+    tp.add_argument("--k", type=int, default=10,
+                    help="(rank) top-k conversations by BM25 score")
 
     snp = sub.add_parser(
         "seen",
@@ -649,6 +651,13 @@ def main(argv=None) -> int:
                     else refresh_text_index
                 )
                 print(json.dumps(fn(args.lake_dir, args.idx_dir).__dict__))
+            elif args.action == "rank":
+                from .stages.textindex import rank_text_index
+
+                if not args.tokens:
+                    p.error("tindex rank requires --tokens")
+                t = rank_text_index(args.idx_dir, args.tokens, k=args.k)
+                print(json.dumps({"ranked": t.to_pylist()}))
             else:
                 if not args.tokens:
                     p.error("tindex search requires --tokens")

@@ -97,3 +97,6 @@ def test_lifecycle_cli_end_to_end(tmp_path):
                "--tokens", "cli", "lifecycle", "--mode", "all")
     assert res["conv_ids"] == ["c20"]
     assert _cli("tindex", "refresh", lake, idx)["buckets_refreshed"] == 0
+    rk = _cli("tindex", "rank", lake, idx, "--tokens", "lifecycle", "--k", "3")
+    assert rk["ranked"] and rk["ranked"][0]["conv_id"] == "c20"
+    assert rk["ranked"][0]["score"] > 0
