@@ -68,6 +68,9 @@ def main(argv=None) -> int:
     rp.add_argument("--matview-dir", default=None,
                     help="(--follow) incrementally refresh this materialized "
                          "view after every round that ingested data")
+    rp.add_argument("--tindex-dir", default=None,
+                    help="(--follow) incrementally refresh this inverted "
+                         "text index after every round that ingested data")
     rp.add_argument("--replica-dir", default=None,
                     help="(--follow) keep this downstream replica lake "
                          "synced to each round's new stable watermark "
@@ -420,6 +423,7 @@ def main(argv=None) -> int:
                            poll_interval_s=args.poll_interval,
                            idle_rounds=args.idle_rounds,
                            matview_dir=args.matview_dir,
+                           tindex_dir=args.tindex_dir,
                            replica_dir=args.replica_dir,
                            compact_min_files=args.compact_min_files,
                            expire_keep_last=args.expire_keep_last, **kw)

@@ -427,6 +427,7 @@ def follow(
     idle_rounds: int = 3,
     max_rounds: int | None = None,
     matview_dir: str | None = None,
+    tindex_dir: str | None = None,
     replica_dir: str | None = None,
     compact_min_files: int | None = None,
     expire_keep_last: int | None = None,
@@ -445,6 +446,11 @@ def follow(
     continuously fresh — after every round that ingested data, the view is
     incrementally refreshed (only buckets the round's commits touched
     recompute). The streaming downstream-consumer loop in one call.
+
+    ``tindex_dir``: keep the inverted text index (stages/textindex.py)
+    continuously fresh the same way — after every ingesting round the
+    index refreshes incrementally (file-list fingerprints skip untouched
+    buckets), so token search/BM25 rank follow the lake at O(change rate).
 
     ``replica_dir``: keep a downstream replica lake continuously synced —
     after every round that ingested data, ``sync_replica`` applies the
@@ -525,6 +531,10 @@ def follow(
                 from ..stages.matview import refresh_matview
 
                 refresh_matview(lake_dir, matview_dir)
+            if tindex_dir is not None and r.chunks_applied:
+                from ..stages.textindex import refresh_text_index
+
+                refresh_text_index(lake_dir, tindex_dir)
             if replica_dir is not None and r.chunks_applied:
                 sync_replica(lake_dir, replica_dir)
             if expire_keep_last is not None and r.chunks_applied:

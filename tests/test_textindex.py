@@ -7,6 +7,8 @@ postings (bucket recompute is from LIVE rows); a no-change refresh is a
 zero-bucket no-op.
 """
 
+import os
+
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -200,3 +202,49 @@ def test_bm25_ranking_order_and_salted_merge(ray_session, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(ranks[1], ranks[3])
+
+
+def test_follow_keeps_text_index_fresh(ray_session, tmp_path):
+    """follow(tindex_dir=...): every ingest round ends with an
+    incrementally refreshed index; a trickled late event becomes
+    searchable after the next follow pass."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from clinical_trials_etl_ray.pipelines.replay import follow
+    from clinical_trials_etl_ray.synth import BinlogSpec, write_binlog_shards
+
+    src = str(tmp_path / "src")
+    write_binlog_shards(
+        BinlogSpec(n_events=2_000, n_convs=40, seed=5), src, n_shards=4,
+        parallel=False,
+    )
+    grow = tmp_path / "growing"
+    grow.mkdir()
+    for f in sorted(os.listdir(src)):
+        shutil.copy(os.path.join(src, f), grow)
+    lake = str(tmp_path / "lake")
+    idx = str(tmp_path / "tidx")
+    follow(str(grow), lake, poll_interval_s=0.05, idle_rounds=1,
+           tindex_dir=idx, num_buckets=8, files_per_chunk=2,
+           disorder_bound=0)
+    # index state == a fresh full build over the followed lake
+    idx_full = str(tmp_path / "tidx_full")
+    build_text_index(lake, idx_full)
+    probe_any = ["sentinel-token"]
+    assert (
+        search_text_index(idx, probe_any, mode="any")["conv_id"].to_pylist()
+        == search_text_index(idx_full, probe_any, mode="any")["conv_id"].to_pylist()
+    )
+
+    trickle = str(grow / "zz_trickle.parquet")
+    _write_shard(
+        trickle, [_event(30_000_000, "conv_fresh", 0, "sentinel-token here")]
+    )
+    follow(str(grow), lake, poll_interval_s=0.05, idle_rounds=1,
+           tindex_dir=idx, num_buckets=8, files_per_chunk=2,
+           disorder_bound=0)
+    assert search_text_index(idx, ["sentinel-token"], mode="any")[
+        "conv_id"
+    ].to_pylist() == ["conv_fresh"]
