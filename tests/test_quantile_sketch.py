@@ -114,3 +114,36 @@ def test_sketch_handles_nulls_zero_and_negatives(ray_session):
     assert abs(got.loc[1, "q50"] / 7.0 - 1) <= 0.01
     # group a: sorted [-5,-5,0,10,10], rank ceil(.5*5)=3 → 0
     assert got.loc[0, "q50"] == 0.0
+
+
+def test_bin_roundtrip_property():
+    """Property (hypothesis): for ANY finite nonzero float, the bin
+    representative is within rel_err relatively, sign-preserving, and the
+    code is monotone in |v| within a sign class (so cumulative-histogram
+    walks order correctly)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.floats(
+            min_value=1e-300, max_value=1e300,
+            allow_nan=False, allow_infinity=False,
+        ),
+        st.sampled_from([1.0, -1.0]),
+        st.sampled_from([0.05, 0.01, 0.001]),
+    )
+    def check(mag, sgn, rel_err):
+        v = np.array([sgn * mag])
+        code = quantile_bin_codes(v, rel_err)
+        rep = quantile_bin_value(code, rel_err)
+        assert abs(rep[0] / v[0] - 1) <= rel_err * (1 + 1e-9)
+        assert np.sign(rep[0]) == np.sign(v[0])
+        # monotonicity: a value 2/rel_err times larger never gets a
+        # smaller code (same sign)
+        if mag < 1e299:
+            v2 = np.array([sgn * mag * (1 + 3 * rel_err)])
+            c2 = quantile_bin_codes(v2, rel_err)
+            assert (c2[0] >= code[0]) if sgn > 0 else (c2[0] <= code[0])
+
+    check()

@@ -248,3 +248,27 @@ def test_follow_keeps_text_index_fresh(ray_session, tmp_path):
     assert search_text_index(idx, ["sentinel-token"], mode="any")[
         "conv_id"
     ].to_pylist() == ["conv_fresh"]
+
+
+def test_bucket_postings_tf_sums_to_dl():
+    """Invariant: per conversation, Σ tf over its postings == its dl
+    (every non-empty token instance is counted exactly once) — the
+    consistency BM25 relies on. Includes null/empty/multi-space text."""
+    from clinical_trials_etl_ray.stages.textindex import bucket_postings
+
+    live = pa.table(
+        {
+            "conv_id": ["a", "a", "b", "c", "d"],
+            "text": [
+                "x y x", "y  z", None, "", "solo",
+            ],
+        }
+    )
+    postings, doclens = bucket_postings(live)
+    p = postings.to_pandas()
+    d = doclens.to_pandas().set_index("conv_id")["dl"]
+    sums = p.groupby("conv_id")["tf"].sum()
+    assert sums.to_dict() == d.to_dict()
+    assert d.to_dict() == {"a": 5, "d": 1}  # b/c have no tokens
+    # tf aggregated across turns: 'x' twice in conv a's first turn
+    assert int(p.set_index(["conv_id", "token"]).loc[("a", "x"), "tf"]) == 2
