@@ -99,6 +99,7 @@ _TAIL = [
     "simhash_pairs",
     "ann_topk_ivf_probe",
     "ann_topk_ivf_indexed",
+    "ann_topk_ivf_pq",      # rows-only (byte-coded ADC + exact re-rank)
     "near_dup_cosine_lsh",
     "media_features",
     "media_near_dup",

@@ -793,6 +793,27 @@ def q_ann_topk_ivf_indexed(sf_dir: str):
     return ann_topk_ivf_indexed(sf_dir, index_dir, n_queries=5, k=5, nprobe=16)
 
 
+def q_ann_topk_ivf_pq(sf_dir: str):
+    """Rows-only: IVF-PQ two-stage retrieval (stages/pq.py) — byte-coded
+    ADC candidate generation over probed list partitions, then exact
+    re-rank of the top candidates via a result-sized corpus read. The
+    memory-compression ANN scale path (16 bytes/vector here vs 512);
+    recall and determinism are pytest-pinned (test_pq.py)."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    from ..stages.pq import ann_topk_ivf_pq, build_pq_index
+
+    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    index_dir = os.path.join(tempfile.gettempdir(), f"pq_index_{tag}")
+    if not os.path.exists(os.path.join(index_dir, "codebooks.parquet")):
+        build_pq_index(sf_dir, index_dir, n_centroids=16, m=16)
+    return ann_topk_ivf_pq(
+        sf_dir, index_dir, n_queries=5, k=5, nprobe=16, rerank=20
+    )
+
+
 def q_near_dup_cosine(sf_dir: str):
     return near_dup_pairs_cosine(sf_dir, threshold=0.4)
 
@@ -999,6 +1020,7 @@ QUERIES = {
     "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
     "near_dup_cosine": q_near_dup_cosine,
     "decon_cosine": q_decon_cosine,
+    "ann_topk_ivf_pq": q_ann_topk_ivf_pq,
     "near_dup_cosine_lsh": q_near_dup_cosine_lsh,
     "media_features": q_media_features,
     "media_near_dup": q_media_near_dup,
