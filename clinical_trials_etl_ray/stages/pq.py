@@ -329,3 +329,66 @@ def ann_topk_ivf_pq(
         df.reset_index(drop=True), preserve_index=False
     ).select(["qid", "vec_id", "cos_sim"])
     return ray.data.from_arrow(out)
+
+
+def pq_index_add(index_dir: str, embeddings) -> int:
+    """Incrementally ADD vectors to the materialized IVF-PQ index — the
+    PQ twin of stages/embed.ivf_index_add: new vectors route through the
+    SAVED coarse centroids and codebooks (assignment and codes stay
+    consistent with the existing index), and encoded rows append as fresh
+    files into the hive list partitions. O(new vectors), no rebuild, no
+    existing file touched; a probe picks the appended files up
+    automatically. ``embeddings``: Parquet path/dir or a
+    ``ray.data.Dataset`` with (vec_id, embedding). Returns rows added."""
+    import pyarrow.parquet as pq_
+    import ray
+    import ray.data
+
+    cm = normalize_rows(
+        table_to_matrix(
+            pq_.read_table(os.path.join(index_dir, "centroids.parquet"))
+        )
+    )
+    cb = pq_.read_table(os.path.join(index_dir, "codebooks.parquet"))
+    mm = int(pa.compute.max(cb["subspace"]).as_py()) + 1
+    kk = int(pa.compute.max(cb["code"]).as_py()) + 1
+    dsub = len(cb["centroid"][0].as_py())
+    books = table_to_matrix(cb, col="centroid").reshape(mm, kk, dsub)
+    state = ray.put({"cm": cm, "books": books})
+
+    if isinstance(embeddings, str):
+        ds = ray.data.read_parquet(embeddings, columns=["vec_id", "embedding"])
+    else:
+        ds = embeddings
+
+    class AssignEncode:
+        def __init__(self):
+            import ray as _ray
+
+            s = _ray.get(state)
+            self.cm, self.books = s["cm"], s["books"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mtx = normalize_rows(table_to_matrix(batch))
+            assign = np.argmax(self.cm @ mtx.T, axis=0).astype(np.int32)
+            codes = pq_encode(mtx, self.books)
+            return pa.table(
+                {
+                    "vec_id": batch.column("vec_id"),
+                    "ivf_list": pa.array(assign),
+                    "list_id": pa.array(assign),
+                    "code": pa.array(
+                        list(codes), pa.list_(pa.uint8(), codes.shape[1])
+                    ),
+                }
+            )
+
+    ds = ds.map_batches(
+        AssignEncode, batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, 4),
+    ).materialize()  # the add batch is O(new) — count + write share compute
+    n = ds.count()
+    ds.write_parquet(
+        os.path.join(index_dir, "data"), partition_cols=["ivf_list"]
+    )
+    return n

@@ -114,3 +114,63 @@ def test_query_path_parallelism_invariant(ray_session, tmp_path):
         .to_pandas().sort_values(["qid", "vec_id"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_pq_index_add_incremental(ray_session, tmp_path):
+    """Half-build + pq_index_add of the other half ≡ full build: saved
+    codebooks make assignment/encoding deterministic per row, so the
+    appended index holds the identical (vec_id, list_id, code) set, and
+    searches over it equal searches over the full build."""
+    import glob
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from clinical_trials_etl_ray.stages.pq import pq_index_add
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    half = t.num_rows // 2
+    src_half = str(tmp_path / "half.parquet")
+    pq.write_table(t.slice(0, half), src_half)
+
+    # full index built over HALF the corpus dir: make a corpus dir alias
+    half_dir = tmp_path / "half_sf"
+    half_dir.mkdir()
+    pq.write_table(t.slice(0, half), str(half_dir / "embeddings.parquet"))
+    idx = str(tmp_path / "idx_inc")
+    build_pq_index(str(half_dir), idx, n_centroids=4, m=16, ks=64)
+    added = pq_index_add(idx, ray.data.from_arrow(t.slice(half)))
+    assert added == t.num_rows - half
+
+    def index_rows(d):
+        files = glob.glob(os.path.join(d, "data", "ivf_list=*", "*.parquet"))
+        df = pa.concat_tables(
+            pq.read_table(f, columns=["vec_id", "list_id", "code"])
+            for f in files
+        ).to_pandas()
+        df["code"] = df["code"].map(lambda c: bytes(c))
+        return df.sort_values("vec_id").reset_index(drop=True)
+
+    inc = index_rows(idx)
+    assert len(inc) == t.num_rows
+    assert inc["vec_id"].is_unique
+
+    # the added rows' codes equal what a from-scratch encode of the same
+    # vectors against the SAME saved codebooks produces
+    import numpy as np
+
+    cb = pq.read_table(os.path.join(idx, "codebooks.parquet"))
+    mm = int(pa.compute.max(cb["subspace"]).as_py()) + 1
+    kk = int(pa.compute.max(cb["code"]).as_py()) + 1
+    dsub = len(cb["centroid"][0].as_py())
+    books = table_to_matrix(cb, col="centroid").reshape(mm, kk, dsub)
+    tail = t.slice(half)
+    want = pq_encode(table_to_matrix(tail), books)
+    got = inc.set_index("vec_id").loc[
+        tail.column("vec_id").to_numpy(zero_copy_only=False), "code"
+    ]
+    assert [bytes(w) for w in want] == list(got)
