@@ -428,6 +428,9 @@ def purge_conv(lake_dir: str, conv_id: str) -> PurgeReport:
                     "ts_us_min": tmin,
                     "ts_us_max": tmax,
                     "conv_bloom": _conv_bloom(t2),
+                    # a row filter preserves order: a sorted source file
+                    # stays streamable after the purge rewrite
+                    **({"sorted": True} if f.get("sorted") else {}),
                 },
             })
         return pa.Table.from_pylist(out) if out else pa.table({})

@@ -313,6 +313,75 @@ def make_direct_delta_writer(lake_dir: str, watermarks: dict):
 KEY_COLS = ("conv_id", "turn_idx", "ts", "lsn", "op")
 
 
+def _prune_resolve_files(
+    files: list,
+    as_of_lsn: int | None = None,
+    since_lsn: int | None = None,
+    conv_range: tuple | None = None,
+) -> list:
+    """Manifest-stats file pruning shared by the eager and streaming
+    resolvers (soundness arguments in ``resolve_bucket``'s docstring)."""
+    if as_of_lsn is not None:
+        files = [f for f in files if f.get("min_lsn", 0) <= as_of_lsn]
+    if since_lsn is not None:
+        files = [f for f in files if f.get("max_lsn", since_lsn + 1) > since_lsn]
+    if conv_range is not None:
+        lo, hi = conv_range
+        files = [
+            f
+            for f in files
+            if f.get("conv_min") is None
+            or f.get("conv_max") is None
+            or ((lo is None or f["conv_max"] >= lo)
+                and (hi is None or f["conv_min"] <= hi))
+        ]
+    return files
+
+
+def _conv_range_filter(conv_range: tuple | None):
+    """conv_range → a pyarrow.dataset filter expression (or None)."""
+    if conv_range is None:
+        return None
+    import pyarrow.dataset as pads
+
+    lo, hi = conv_range
+    expr = None
+    if lo is not None:
+        expr = pads.field("conv_id") >= lo
+    if hi is not None:
+        e = pads.field("conv_id") <= hi
+        expr = e if expr is None else expr & e
+    return expr
+
+
+def _read_resolve_file(
+    lake_dir: str,
+    f: dict,
+    needed: list | None,
+    conv_filter,
+    as_of_lsn: int | None,
+    since_lsn: int | None,
+) -> pa.Table:
+    """Read one lake file with projection + pushed filters (shared by the
+    eager resolver and the streaming resolver's unsorted-delta run)."""
+    path = os.path.join(lake_dir, f["path"])
+    kwargs = {}
+    if conv_filter is not None:
+        kwargs["filters"] = conv_filter
+    if needed is None:
+        t = pq.read_table(path, **kwargs)
+    else:
+        present = set(pq.read_schema(path).names)
+        t = pq.read_table(
+            path, columns=[c for c in needed if c in present], **kwargs
+        )
+    if as_of_lsn is not None and f.get("max_lsn", as_of_lsn) > as_of_lsn:
+        t = t.filter(pc.less_equal(t["lsn"], as_of_lsn))
+    if since_lsn is not None and f.get("min_lsn", since_lsn) <= since_lsn:
+        t = t.filter(pc.greater(t["lsn"], since_lsn))
+    return t
+
+
 def resolve_bucket(
     lake_dir: str,
     bucket: int,
@@ -370,20 +439,7 @@ def resolve_bucket(
     releases the GIL) so per-file open/decode latency overlaps instead of
     serializing — ~3x faster final-table reads on a fresh (uncompacted)
     lake."""
-    if as_of_lsn is not None:
-        files = [f for f in files if f.get("min_lsn", 0) <= as_of_lsn]
-    if since_lsn is not None:
-        files = [f for f in files if f.get("max_lsn", since_lsn + 1) > since_lsn]
-    if conv_range is not None:
-        lo, hi = conv_range
-        files = [
-            f
-            for f in files
-            if f.get("conv_min") is None
-            or f.get("conv_max") is None
-            or ((lo is None or f["conv_max"] >= lo)
-                and (hi is None or f["conv_min"] <= hi))
-        ]
+    files = _prune_resolve_files(files, as_of_lsn, since_lsn, conv_range)
     if not files:
         return EVENT_SCHEMA.empty_table()
 
@@ -391,34 +447,12 @@ def resolve_bucket(
     if columns is not None:
         needed = list(dict.fromkeys(list(KEY_COLS) + list(columns)))
 
-    conv_filter = None
-    if conv_range is not None:
-        import pyarrow.dataset as pads
-
-        lo, hi = conv_range
-        if lo is not None:
-            conv_filter = pads.field("conv_id") >= lo
-        if hi is not None:
-            e = pads.field("conv_id") <= hi
-            conv_filter = e if conv_filter is None else conv_filter & e
+    conv_filter = _conv_range_filter(conv_range)
 
     def _read(f):
-        path = os.path.join(lake_dir, f["path"])
-        kwargs = {}
-        if conv_filter is not None:
-            kwargs["filters"] = conv_filter
-        if needed is None:
-            t = pq.read_table(path, **kwargs)
-        else:
-            present = set(pq.read_schema(path).names)
-            t = pq.read_table(
-                path, columns=[c for c in needed if c in present], **kwargs
-            )
-        if as_of_lsn is not None and f.get("max_lsn", as_of_lsn) > as_of_lsn:
-            t = t.filter(pc.less_equal(t["lsn"], as_of_lsn))
-        if since_lsn is not None and f.get("min_lsn", since_lsn) <= since_lsn:
-            t = t.filter(pc.greater(t["lsn"], since_lsn))
-        return t
+        return _read_resolve_file(
+            lake_dir, f, needed, conv_filter, as_of_lsn, since_lsn
+        )
 
     if len(files) <= 2:
         tables = [_read(f) for f in files]
@@ -438,6 +472,257 @@ def resolve_bucket(
         # project back down so callers see exactly key + requested columns
         target = pa.schema([f for f in target if f.name in needed])
     return lww_winners(pa.concat_tables([unify_to_schema(t, target) for t in tables]))
+
+
+# ---------------------------------------------------------------------------
+# Streaming (bounded-memory) bucket resolution — the 100-TB read path
+# ---------------------------------------------------------------------------
+
+#: buckets whose SORTED files hold at least this many rows resolve via the
+#: streaming k-way merge in ``read_final_table`` (eager below it — the
+#: in-memory path is faster for small buckets). Override with
+#: CTE_STREAM_RESOLVE_MIN_ROWS.
+STREAM_RESOLVE_MIN_ROWS = 4_000_000
+
+#: parquet read granularity of one streaming run (rows per batch)
+STREAM_RESOLVE_BATCH_ROWS = 262_144
+
+
+def stream_resolve_min_rows() -> int:
+    return int(
+        os.environ.get("CTE_STREAM_RESOLVE_MIN_ROWS", str(STREAM_RESOLVE_MIN_ROWS))
+    )
+
+
+def _merge_key(t: pa.Table) -> pa.Array:
+    """Composite binary merge key whose byte order equals the
+    (conv_id ASC, turn_idx ASC) sort order: conv_id + \\x00 + zero-padded
+    (turn_idx + 2^31). The \\x00 separator sorts below any text byte, so a
+    conv_id that is a strict prefix of another orders identically to the
+    two-column comparison; the +2^31 offset keeps negative turn indices
+    ordered under the fixed-width decimal encoding."""
+    tu = pc.utf8_lpad(
+        pc.cast(
+            pc.add(pc.cast(t["turn_idx"], pa.int64()), pa.scalar(1 << 31, pa.int64())),
+            pa.string(),
+        ),
+        10,
+        "0",
+    )
+    k = pc.binary_join_element_wise(pc.cast(t["conv_id"], pa.string()), tu, "\x00")
+    return k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+
+
+def _sorted_file_run(
+    lake_dir: str,
+    f: dict,
+    needed: list | None,
+    target: pa.Schema,
+    as_of_lsn: int | None,
+    since_lsn: int | None,
+    conv_range: tuple | None,
+    batch_rows: int,
+):
+    """Generator over one key-sorted lake file: unified, filtered,
+    ``__key``-tagged batches in key order. Never holds more than one parquet
+    batch (~``batch_rows`` rows) in memory."""
+    from ..schema import unify_to_schema
+
+    pf = pq.ParquetFile(os.path.join(lake_dir, f["path"]))
+    try:
+        names = set(pf.schema_arrow.names)
+        cols = [c for c in needed if c in names] if needed is not None else None
+        for rb in pf.iter_batches(batch_size=batch_rows, columns=cols):
+            t = pa.Table.from_batches([rb])
+            if as_of_lsn is not None and f.get("max_lsn", as_of_lsn) > as_of_lsn:
+                t = t.filter(pc.less_equal(t["lsn"], as_of_lsn))
+            if since_lsn is not None and f.get("min_lsn", since_lsn) <= since_lsn:
+                t = t.filter(pc.greater(t["lsn"], since_lsn))
+            if conv_range is not None:
+                lo, hi = conv_range
+                if lo is not None:
+                    t = t.filter(pc.greater_equal(t["conv_id"], lo))
+                if hi is not None:
+                    t = t.filter(pc.less_equal(t["conv_id"], hi))
+            if t.num_rows == 0:
+                continue
+            t = unify_to_schema(t, target)
+            yield t.append_column("__key", _merge_key(t))
+    finally:
+        pf.close()
+
+
+def _kway_merge_lww(runs: list, stats: dict | None = None):
+    """K-way merge of key-sorted ``__key``-tagged runs → LWW winner slabs in
+    key order, bounded memory.
+
+    Invariant: a slab is emitted only below ``safe`` = min over non-exhausted
+    runs of their buffered max key, so every version of a key meets in
+    exactly ONE slab and per-slab ``lww_winners`` equals the global LWW
+    (associativity). Peak rows held = sum of run buffers (~one parquet batch
+    per sorted run + the in-memory delta run), never the bucket.
+    ``stats['peak_rows']`` records the observed maximum."""
+    k = len(runs)
+    iters = [iter(r) for r in runs]
+    bufs: list = [None] * k
+    done = [False] * k
+
+    def refill(i) -> bool:
+        while True:
+            try:
+                t = next(iters[i])
+            except StopIteration:
+                done[i] = True
+                return False
+            if t.num_rows:
+                bufs[i] = (
+                    t
+                    if bufs[i] is None or bufs[i].num_rows == 0
+                    else pa.concat_tables([bufs[i], t])
+                )
+                return True
+
+    for i in range(k):
+        refill(i)
+    while True:
+        for i in range(k):
+            if not done[i] and (bufs[i] is None or bufs[i].num_rows == 0):
+                refill(i)
+        have = [i for i in range(k) if bufs[i] is not None and bufs[i].num_rows]
+        active = [i for i in range(k) if not done[i]]
+        if stats is not None:
+            held = sum(bufs[i].num_rows for i in have)
+            if held > stats.get("peak_rows", 0):
+                stats["peak_rows"] = held
+        if not have:
+            if not active:
+                return
+            continue
+        if active:
+            safe = min(bufs[i]["__key"][-1].as_py() for i in active)
+            emit = []
+            total_emit = 0
+            for i in have:
+                n_lt = int(
+                    pc.sum(
+                        pc.cast(pc.less(bufs[i]["__key"], safe), pa.int64())
+                    ).as_py()
+                    or 0
+                )
+                if n_lt == 0:
+                    continue
+                # buffers are key-sorted → the emit set is a zero-copy prefix
+                emit.append(bufs[i].slice(0, n_lt))
+                bufs[i] = (
+                    None if n_lt == bufs[i].num_rows else bufs[i].slice(n_lt)
+                )
+                total_emit += n_lt
+            if total_emit == 0:
+                # every buffered key equals ``safe`` — extend the runs that
+                # could still produce it (progress: each refill advances or
+                # exhausts a run, so the loop terminates)
+                for i in active:
+                    if (
+                        bufs[i] is None
+                        or bufs[i].num_rows == 0
+                        or bufs[i]["__key"][-1].as_py() == safe
+                    ):
+                        refill(i)
+                continue
+        else:
+            emit = [bufs[i] for i in have]
+            for i in have:
+                bufs[i] = None
+        slab = pa.concat_tables(emit)
+        w = lww_winners(slab)
+        yield w.take(pc.sort_indices(w, sort_keys=[("__key", "ascending")]))
+        if not active:
+            if all(b is None or b.num_rows == 0 for b in bufs):
+                return
+
+
+def iter_resolve_bucket(
+    lake_dir: str,
+    bucket: int,
+    files: list,
+    as_of_lsn: int | None = None,
+    conv_range: tuple | None = None,
+    since_lsn: int | None = None,
+    columns: list | None = None,
+    stream_rows: int = STREAM_RESOLVE_BATCH_ROWS,
+    stats: dict | None = None,
+):
+    """Bounded-memory streaming variant of ``resolve_bucket``: yields LWW
+    winner slabs in (conv_id, turn_idx) order instead of materializing the
+    whole bucket.
+
+    Files flagged ``sorted`` in the manifest (compaction output — bases and
+    consolidated deltas are written key-sorted, ``compact_bucket``) stream
+    as k-way merge runs at ``stream_rows`` granularity; unsorted files (raw
+    ingest deltas — O(data since last compaction), NOT O(bucket)) are
+    resolved in memory into one sorted run. Peak memory is therefore
+    ~(k_sorted × stream_rows + unsorted delta rows + one emit slab) rows —
+    a bucket that outgrew the worker heap resolves as long as compaction
+    runs at any cadence. Winner set is identical to ``resolve_bucket``
+    (pinned by tests/test_stream_resolve.py); same filter/projection
+    semantics. Reference analog: Mongo never holds a partition in RAM
+    (storage/mongodb_storage.py:204-245 is per-document); this is the
+    partition-local equivalent for the lake read."""
+    from ..schema import unify_to_schema, union_event_schema
+
+    files = _prune_resolve_files(files, as_of_lsn, since_lsn, conv_range)
+    if not files:
+        return
+    needed = None
+    if columns is not None:
+        needed = list(dict.fromkeys(list(KEY_COLS) + list(columns)))
+    target = union_event_schema(
+        [pq.read_schema(os.path.join(lake_dir, f["path"])) for f in files]
+    )
+    if needed is not None:
+        target = pa.schema([fld for fld in target if fld.name in needed])
+
+    sorted_files = [f for f in files if f.get("sorted")]
+    unsorted = [f for f in files if not f.get("sorted")]
+    runs: list = []
+    if unsorted:
+        conv_filter = _conv_range_filter(conv_range)
+        if len(unsorted) <= 2:
+            tables = [
+                _read_resolve_file(
+                    lake_dir, f, needed, conv_filter, as_of_lsn, since_lsn
+                )
+                for f in unsorted
+            ]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(unsorted))) as ex:
+                tables = list(
+                    ex.map(
+                        lambda f: _read_resolve_file(
+                            lake_dir, f, needed, conv_filter, as_of_lsn, since_lsn
+                        ),
+                        unsorted,
+                    )
+                )
+        mem = pa.concat_tables([unify_to_schema(t, target) for t in tables])
+        mem = lww_winners(mem)
+        if mem.num_rows:
+            mem = mem.append_column("__key", _merge_key(mem))
+            mem = mem.take(pc.sort_indices(mem, sort_keys=[("__key", "ascending")]))
+            runs.append(iter((mem,)))
+    for f in sorted_files:
+        runs.append(
+            _sorted_file_run(
+                lake_dir, f, needed, target, as_of_lsn, since_lsn,
+                conv_range, stream_rows,
+            )
+        )
+    if not runs:
+        return
+    for w in _kway_merge_lww(runs, stats=stats):
+        yield w.drop_columns(["__key"])
 
 
 def live_rows(resolved: pa.Table) -> pa.Table:
@@ -610,44 +895,76 @@ def read_final_table(
             else fallback_schema.empty_table()
         )
 
-    def resolve(batch: pa.Table) -> pa.Table:
-        out = []
-        for row in batch.to_pylist():
-            resolved = resolve_bucket(
-                row["lake_dir"],
-                row["bucket"],
-                files_by_bucket[row["bucket"]],
-                as_of_lsn=as_of_lsn,
-                conv_range=conv_range,
-                columns=columns,
-            )
-            t = live_rows(resolved)
-            if committed is not None:
-                from ..schema import unify_to_schema
+    stream_min = stream_resolve_min_rows()
 
-                t = unify_to_schema(t, committed)
-            if conv_range is not None:
-                lo, hi = conv_range
-                if lo is not None:
-                    t = t.filter(pc.greater_equal(t["conv_id"], lo))
-                if hi is not None:
-                    t = t.filter(pc.less_equal(t["conv_id"], hi))
-            # row filters compare in epoch-µs when the predicate converted
-            # (accepts datetime / ISO string / int µs uniformly)
-            if ts_min is not None:
-                t = (
-                    t.filter(pc.greater_equal(t["ts"].cast(pa.int64()), ts_min_us))
-                    if ts_min_us is not None
-                    else t.filter(pc.greater_equal(t["ts"], ts_min))
+    def _post(t: pa.Table) -> pa.Table:
+        t = live_rows(t)
+        if committed is not None:
+            from ..schema import unify_to_schema
+
+            t = unify_to_schema(t, committed)
+        if conv_range is not None:
+            lo, hi = conv_range
+            if lo is not None:
+                t = t.filter(pc.greater_equal(t["conv_id"], lo))
+            if hi is not None:
+                t = t.filter(pc.less_equal(t["conv_id"], hi))
+        # row filters compare in epoch-µs when the predicate converted
+        # (accepts datetime / ISO string / int µs uniformly)
+        if ts_min is not None:
+            t = (
+                t.filter(pc.greater_equal(t["ts"].cast(pa.int64()), ts_min_us))
+                if ts_min_us is not None
+                else t.filter(pc.greater_equal(t["ts"], ts_min))
+            )
+        if ts_max is not None:
+            t = (
+                t.filter(pc.less_equal(t["ts"].cast(pa.int64()), ts_max_us))
+                if ts_max_us is not None
+                else t.filter(pc.less_equal(t["ts"], ts_max))
+            )
+        return t
+
+    def resolve(batch: pa.Table):
+        # generator UDF: big buckets stream winner slabs through Ray's
+        # block pipeline instead of materializing the bucket in the task
+        emitted = False
+        for row in batch.to_pylist():
+            b = row["bucket"]
+            files = files_by_bucket[b]
+            sorted_rows = sum(
+                int(f.get("row_count") or 0) for f in files if f.get("sorted")
+            )
+            if sorted_rows >= stream_min:
+                for slab in iter_resolve_bucket(
+                    row["lake_dir"],
+                    b,
+                    files,
+                    as_of_lsn=as_of_lsn,
+                    conv_range=conv_range,
+                    columns=columns,
+                ):
+                    t = _post(slab)
+                    if t.num_rows:
+                        emitted = True
+                        yield t
+            else:
+                resolved = resolve_bucket(
+                    row["lake_dir"],
+                    b,
+                    files,
+                    as_of_lsn=as_of_lsn,
+                    conv_range=conv_range,
+                    columns=columns,
                 )
-            if ts_max is not None:
-                t = (
-                    t.filter(pc.less_equal(t["ts"].cast(pa.int64()), ts_max_us))
-                    if ts_max_us is not None
-                    else t.filter(pc.less_equal(t["ts"], ts_max))
-                )
-            out.append(t)
-        return pa.concat_tables(out) if out else fallback_schema.empty_table()
+                emitted = True
+                yield _post(resolved)
+        if not emitted:
+            yield (
+                committed.empty_table()
+                if committed is not None
+                else fallback_schema.empty_table()
+            )
 
     ds = ray.data.from_items(items, override_num_blocks=len(items))
     kwargs = {"concurrency": concurrency} if concurrency else {}
@@ -822,6 +1139,9 @@ def compact_bucket(
         "ts_us_min": tmin,
         "ts_us_max": tmax,
         "conv_bloom": _conv_bloom(resolved),
+        # written key-sorted (the take above) — the streaming resolver
+        # (iter_resolve_bucket) merges flagged files in bounded memory
+        "sorted": True,
     }
 
 
