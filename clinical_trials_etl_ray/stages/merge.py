@@ -1061,6 +1061,146 @@ def read_change_feed(
     return ds.map_batches(feed, batch_format="pyarrow", batch_size=1, **kwargs)
 
 
+#: sentinel: streaming compaction could not run soundly (missing ts stats
+#: under a tombstone horizon) — caller falls back to the eager path
+_EAGER_FALLBACK = object()
+
+
+def _compact_bucket_streaming(
+    lake_dir: str,
+    bucket: int,
+    files: list,
+    tombstone_horizon_us: int | None,
+    out_kind: str,
+    stream_rows: int = STREAM_RESOLVE_BATCH_ROWS,
+    stats: dict | None = None,
+):
+    """Bounded-memory compaction: pipe ``iter_resolve_bucket`` winner slabs
+    straight into a ParquetWriter. Output rows are identical to the eager
+    path (same winners, same (conv_id, turn_idx) order — winners have unique
+    keys, so the LWW-then-sort of the eager path equals the merge emission
+    order). The content-hash filename is computed over the slab IPC stream
+    (deterministic for a given input set → retried tasks stay idempotent;
+    it intentionally differs from the eager path's whole-table hash, which
+    would require materializing the bucket).
+
+    With ``tombstone_horizon_us``, the cutoff needs max winner ts, which
+    equals max row ts (the globally max-ts row always wins its key) — read
+    from the manifest's per-file ts stats; if any file lacks them, returns
+    ``_EAGER_FALLBACK``."""
+    import hashlib
+
+    cutoff_us = None
+    if tombstone_horizon_us is not None:
+        ts_maxes = [f.get("ts_us_max") for f in files]
+        if any(m is None for m in ts_maxes):
+            return _EAGER_FALLBACK
+        cutoff_us = max(ts_maxes) - tombstone_horizon_us
+
+    import uuid
+
+    directory = bucket_dir(lake_dir, bucket)
+    os.makedirs(directory, exist_ok=True)
+    tmp = os.path.join(directory, f".compact.tmp.{uuid.uuid4().hex}")
+    sha = hashlib.sha256()
+    writer = None
+    n_rows = 0
+    lsn_min = lsn_max = None
+    conv_min = conv_max = None
+    ts_min = ts_max = None
+    conv_hash_chunks: list = []
+    pending: list = []
+    pending_rows = 0
+
+    def _flush(force: bool = False):
+        nonlocal pending, pending_rows, writer
+        if not pending or (not force and pending_rows < LAKE_ROW_GROUP_SIZE):
+            return
+        t = pa.concat_tables(pending).combine_chunks()
+        if writer is None:
+            writer = pq.ParquetWriter(
+                tmp, t.schema, compression=LAKE_COMPRESSION
+            )
+        writer.write_table(t, row_group_size=LAKE_ROW_GROUP_SIZE)
+        pending, pending_rows = [], 0
+
+    try:
+        for slab in iter_resolve_bucket(
+            lake_dir, bucket, files, stream_rows=stream_rows, stats=stats
+        ):
+            if cutoff_us is not None and slab.num_rows:
+                keep = pc.or_(
+                    pc.not_equal(slab["op"], "delete"),
+                    pc.greater_equal(slab["ts"].cast(pa.int64()), cutoff_us),
+                )
+                slab = slab.filter(keep)
+            if slab.num_rows == 0:
+                continue
+            n_rows += slab.num_rows
+            mm = pc.min_max(slab["lsn"]).as_py()
+            lsn_min = mm["min"] if lsn_min is None else min(lsn_min, mm["min"])
+            lsn_max = mm["max"] if lsn_max is None else max(lsn_max, mm["max"])
+            cmin, cmax = _conv_minmax(slab)
+            if cmin is not None:
+                conv_min = cmin if conv_min is None else min(conv_min, cmin)
+                conv_max = cmax if conv_max is None else max(conv_max, cmax)
+            tmin, tmax = _ts_us_minmax(slab)
+            if tmin is not None:
+                ts_min = tmin if ts_min is None else min(ts_min, tmin)
+                ts_max = tmax if ts_max is None else max(ts_max, tmax)
+            from ..functions.hashing import hash_strings
+
+            conv_hash_chunks.append(np.unique(hash_strings(slab["conv_id"])))
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, slab.schema) as w:
+                w.write_table(slab)
+            sha.update(sink.getvalue().to_pybytes())
+            pending.append(slab)
+            pending_rows += slab.num_rows
+            _flush()
+        _flush(force=True)
+        if writer is not None:
+            writer.close()
+            writer = None
+        if n_rows == 0:
+            return None
+        h = sha.hexdigest()[:24]
+        final = os.path.join(directory, f"{out_kind}-{h}.parquet")
+        if os.path.exists(final):
+            os.remove(tmp)  # idempotent retry — keep the existing file
+        else:
+            os.replace(tmp, final)
+        from ..functions.bloom import bloom_b64_from_hashes
+
+        all_hashes = (
+            np.unique(np.concatenate(conv_hash_chunks))
+            if conv_hash_chunks
+            else np.empty(0, dtype=np.uint64)
+        )
+        return {
+            "path": os.path.relpath(final, lake_dir),
+            "kind": out_kind,
+            "content_hash": h,
+            "row_count": n_rows,
+            "min_lsn": int(lsn_min),
+            "max_lsn": int(lsn_max),
+            "conv_min": conv_min,
+            "conv_max": conv_max,
+            "ts_us_min": ts_min,
+            "ts_us_max": ts_max,
+            "conv_bloom": bloom_b64_from_hashes(all_hashes),
+            "sorted": True,
+        }
+    finally:
+        if writer is not None:
+            writer.close()
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
+
+
 def compact_bucket(
     lake_dir: str,
     bucket: int,
@@ -1095,6 +1235,18 @@ def compact_bucket(
             "compaction: the base is not rewritten, so a dropped tombstone "
             "would resurrect the base row it deletes"
         )
+    # big buckets with a sorted base stream-merge instead of materializing:
+    # steady-state major compaction (sorted base + fresh deltas) is the one
+    # place a bucket larger than worker heap MUST still fold
+    sorted_rows = sum(
+        int(f.get("row_count") or 0) for f in files if f.get("sorted")
+    )
+    if sorted_rows >= stream_resolve_min_rows():
+        out = _compact_bucket_streaming(
+            lake_dir, bucket, files, tombstone_horizon_us, out_kind
+        )
+        if out is not _EAGER_FALLBACK:
+            return out
     resolved = resolve_bucket(lake_dir, bucket, files)
     if tombstone_horizon_us is not None and resolved.num_rows:
         max_ts = pc.max(resolved["ts"]).as_py()

@@ -185,6 +185,74 @@ def test_stream_handles_unsorted_only_and_sorted_only(ray_session, tmp_path):
     check()          # sorted-only (single base per bucket)
 
 
+def test_streaming_compaction_matches_eager(steady_lake):
+    """_compact_bucket_streaming writes the same winner rows (same order)
+    as the eager compact_bucket, with a sorted-flagged fileinfo and sound
+    stats — and bounded memory."""
+    from clinical_trials_etl_ray.stages.merge import (
+        _compact_bucket_streaming,
+        compact_bucket,
+    )
+
+    man = Manifest.load(steady_lake)
+    for b in range(man.num_buckets):
+        files = man.files_for_bucket(b)
+        stats = {}
+        got = _compact_bucket_streaming(
+            steady_lake, b, files, None, "base", stream_rows=64, stats=stats
+        )
+        want = compact_bucket(steady_lake, b, files)
+        t_got = pq.read_table(os.path.join(steady_lake, got["path"]))
+        t_want = pq.read_table(os.path.join(steady_lake, want["path"]))
+        assert t_got.equals(t_want), f"bucket {b}"
+        assert got["sorted"] is True
+        for k in ("row_count", "min_lsn", "max_lsn", "conv_min", "conv_max",
+                  "ts_us_min", "ts_us_max"):
+            assert got[k] == want[k], (b, k)
+        total = sum(int(f.get("row_count") or 0) for f in files)
+        assert stats["peak_rows"] < total
+        # the streamed base joins the live merge path correctly: Bloom has
+        # no false negatives for every key actually present
+        from clinical_trials_etl_ray.functions.bloom import bloom_might_contain
+        from clinical_trials_etl_ray.functions.hashing import hash_strings
+
+        convs = t_got["conv_id"].to_pylist()[:50]
+        for h in hash_strings(convs):
+            assert bloom_might_contain(got["conv_bloom"], int(h))
+        # idempotent retry: re-running lands on the same content-hash name
+        again = _compact_bucket_streaming(
+            steady_lake, b, files, None, "base", stream_rows=64
+        )
+        assert again["path"] == got["path"]
+        assert again["content_hash"] == got["content_hash"]
+
+
+def test_streaming_compaction_tombstone_horizon(steady_lake):
+    """The ts-stats-derived cutoff drops exactly the tombstones the eager
+    horizon path drops (max winner ts == max file ts stat)."""
+    from clinical_trials_etl_ray.stages.merge import (
+        _compact_bucket_streaming,
+        compact_bucket,
+    )
+
+    man = Manifest.load(steady_lake)
+    horizon = 1  # µs — drops every tombstone except one at the exact max ts
+    dropped_any = False
+    for b in range(man.num_buckets):
+        files = man.files_for_bucket(b)
+        got = _compact_bucket_streaming(
+            steady_lake, b, files, horizon, "base", stream_rows=64
+        )
+        want = compact_bucket(steady_lake, b, files, tombstone_horizon_us=horizon)
+        t_got = pq.read_table(os.path.join(steady_lake, got["path"]))
+        t_want = pq.read_table(os.path.join(steady_lake, want["path"]))
+        assert t_got.equals(t_want), f"bucket {b}"
+        full = compact_bucket(steady_lake, b, files)
+        if want["row_count"] < full["row_count"]:
+            dropped_any = True
+    assert dropped_any  # the horizon actually exercised tombstone dropping
+
+
 def test_read_final_table_streaming_forced(steady_lake, monkeypatch):
     want = _final(steady_lake)
     monkeypatch.setenv("CTE_STREAM_RESOLVE_MIN_ROWS", "1")
