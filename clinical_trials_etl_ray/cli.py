@@ -100,6 +100,16 @@ def main(argv=None) -> int:
                          "manifest versions and reclaim their files "
                          "(time travel works for every retained version)")
 
+    rbp = sub.add_parser(
+        "rebucket",
+        help="re-partition the lake in place: new bucket count and/or "
+             "hot-key salt, one atomic layout commit (old versions keep "
+             "the old layout for time travel)",
+    )
+    rbp.add_argument("lake_dir")
+    rbp.add_argument("--buckets", type=int, required=True)
+    rbp.add_argument("--salt", type=int, default=1)
+
     dp = sub.add_parser("read")
     dp.add_argument("lake_dir")
     dp.add_argument("out_dir")
@@ -539,6 +549,15 @@ def main(argv=None) -> int:
                 ts_max=_ts_arg(args.ts_max),
                 dry_run=args.dry_run,
                 allow_full=args.allow_full,
+            )
+            print(json.dumps(asdict(rep)))
+        elif args.cmd == "rebucket":
+            from dataclasses import asdict
+
+            from .pipelines.retention import rebucket
+
+            rep = rebucket(
+                args.lake_dir, args.buckets, new_salt_factor=args.salt
             )
             print(json.dumps(asdict(rep)))
         elif args.cmd == "purge":

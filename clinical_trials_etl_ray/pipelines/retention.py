@@ -444,8 +444,8 @@ def purge_conv(lake_dir: str, conv_id: str) -> PurgeReport:
     def _json_fileinfo(d: dict) -> dict:
         out = {}
         for k, v in d.items():
-            if v is None:
-                out[k] = None
+            if v is None or isinstance(v, bool):
+                out[k] = v
             elif k in ("row_count", "min_lsn", "max_lsn", "ts_us_min", "ts_us_max"):
                 out[k] = int(v)
             else:
@@ -473,4 +473,135 @@ def purge_conv(lake_dir: str, conv_id: str) -> PurgeReport:
         metrics={"purge_conv": conv_id, "rows_purged": report.rows_purged},
     )
     report.final_version = man.version
+    return report
+
+
+@dataclass
+class RebucketReport:
+    old_num_buckets: int = 0
+    new_num_buckets: int = 0
+    old_salt_factor: int = 1
+    new_salt_factor: int = 1
+    rows_routed: int = 0
+    files_written: int = 0
+    final_version: int | None = None
+    noop: bool = False
+
+
+def rebucket(
+    lake_dir: str,
+    new_num_buckets: int,
+    new_salt_factor: int = 1,
+    batch_size: int | None = None,
+) -> RebucketReport:
+    """In-place re-partitioning of the lake: change the bucket count and/or
+    hot-key salt factor WITHOUT replicating to a new directory — the missing
+    lifecycle verb for a lake that outgrew its creation-time layout (the
+    ``num_buckets`` knob bounds per-bucket merge state; see
+    stages/merge.py).
+
+    One pass, one commit: read every bucket's LWW-collapsed winner rows
+    (tombstones included — full event rows, op/lsn kept) via the
+    shuffle-free change feed pinned at the current version, re-route them
+    through the SAME prep → in-batch-LWW → direct-delta-writer path as
+    ingest at the new ``(num_buckets, salt_factor)``, and atomically publish
+    a manifest version that swaps the whole layout
+    (``Manifest.commit_layout``). Equivalent by LWW associativity to a
+    ``sync_replica`` rebuild into the new layout (pinned by
+    tests/test_rebucket.py), but no second lake, no directory move, no
+    window where readers see a half-migrated state: older manifest versions
+    keep the old layout for time travel, and content-hash file names keep
+    the two generations collision-free in the shared bucket dirs. Reclaim
+    the old generation with ``Manifest.expire_versions`` once the retention
+    window allows.
+
+    The watermark carries over unchanged (a rebucket re-routes committed
+    rows; it delivers nothing new), so resumed ingest after the rebucket
+    skips/applies exactly the chunks it would have anyway — pass the new
+    layout (or ``hot_key_salt="auto"``) to subsequent ``replay`` calls.
+
+    Cost: O(lake) read + write once — the escape hatch to run when the
+    hot-key monitor advises a bigger salt or buckets outgrow worker heaps,
+    not a steady-state pass. Reference analog: the reference has no
+    re-partitioning at all (Mongo re-shards server-side); SURVEY §4 skew
+    row."""
+    from ..schema import EVENT_SCHEMA, schema_from_b64, union_event_schema
+    from ..stages.dedupe import dedupe_batch
+    from ..stages.merge import (
+        make_direct_delta_writer,
+        prep_batch,
+        read_change_feed,
+    )
+
+    man = Manifest.load(lake_dir)
+    report = RebucketReport(
+        old_num_buckets=man.num_buckets,
+        new_num_buckets=new_num_buckets,
+        old_salt_factor=man.salt_factor,
+        new_salt_factor=new_salt_factor,
+    )
+    if (new_num_buckets, new_salt_factor) == (man.num_buckets, man.salt_factor):
+        report.noop = True
+        report.final_version = man.version
+        return report
+
+    schemas = [EVENT_SCHEMA]
+    if man.schema_ipc:
+        schemas.append(schema_from_b64(man.schema_ipc))
+    target_schema = union_event_schema(schemas)
+
+    feed = read_change_feed(lake_dir, since_lsn=-1, version=man.version)
+    ds = feed.map_batches(
+        prep_batch,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        fn_kwargs={
+            "num_buckets": new_num_buckets,
+            "min_lsn_exclusive": -1,
+            "salt_factor": new_salt_factor,
+            "target_schema": target_schema,
+        },
+    )
+    ds = ds.map_batches(dedupe_batch, batch_format="pyarrow", batch_size=batch_size)
+    # empty watermark map: every winner row is re-routed (nothing is stale
+    # relative to the NEW layout, whose buckets have no committed files yet)
+    writer = make_direct_delta_writer(lake_dir, {})
+    stats = ds.map_batches(
+        writer, batch_format="pyarrow", batch_size=batch_size
+    ).take_all()
+
+    new_by_bucket: dict = {}
+    for r in stats:
+        if r["kind"] == "noop":
+            continue
+        info = {
+            "path": r["path"],
+            "kind": r["kind"],
+            "content_hash": r["content_hash"],
+            "row_count": int(r["row_count"]),
+            "min_lsn": int(r["min_lsn"]),
+            "max_lsn": int(r["max_lsn"]),
+            "conv_min": r.get("conv_min"),
+            "conv_max": r.get("conv_max"),
+            "ts_us_min": int(r["ts_us_min"]) if r.get("ts_us_min") is not None else None,
+            "ts_us_max": int(r["ts_us_max"]) if r.get("ts_us_max") is not None else None,
+            "conv_bloom": r.get("conv_bloom"),
+        }
+        new_by_bucket.setdefault(int(r["bucket"]), []).append(info)
+        report.rows_routed += info["row_count"]
+        report.files_written += 1
+
+    nxt = man.commit_layout(
+        new_num_buckets,
+        new_salt_factor,
+        new_by_bucket,
+        new_watermark_lsn=man.global_watermark(),
+        metrics={
+            "rebucket": True,
+            "old_num_buckets": man.num_buckets,
+            "old_salt_factor": man.salt_factor,
+            "rows_routed": report.rows_routed,
+        },
+    )
+    report.final_version = nxt.version
     return report

@@ -293,6 +293,45 @@ class Manifest:
         nxt._publish()
         return nxt
 
+    def commit_layout(
+        self,
+        new_num_buckets: int,
+        new_salt_factor: int,
+        bucket_files: dict,
+        new_watermark_lsn: int,
+        metrics: dict | None = None,
+    ) -> "Manifest":
+        """Publish version+1 with a NEW bucket layout (the ``rebucket``
+        lifecycle verb): every bucket's file list is replaced wholesale by
+        ``bucket_files`` ({bucket:int -> [fileinfo...]}) and the bucket
+        count / hot-key salt change atomically with it. The committed
+        schema and lineage chain carry over; each new bucket's watermark is
+        set uniformly to ``new_watermark_lsn`` (the old global watermark —
+        a rebucket re-routes committed rows, it delivers nothing new).
+        Older versions keep the old layout for time travel
+        (``load_version`` reads ``num_buckets`` per snapshot)."""
+        buckets = {
+            str(b): {
+                "watermark_lsn": new_watermark_lsn,
+                "files": list(bucket_files.get(b, [])),
+            }
+            for b in range(new_num_buckets)
+        }
+        nxt = Manifest(
+            lake_dir=self.lake_dir,
+            version=self.version + 1,
+            parent_version=self.version,
+            num_buckets=new_num_buckets,
+            salt_factor=new_salt_factor,
+            schema_version=self.schema_version,
+            schema_names=self.schema_names,
+            schema_ipc=self.schema_ipc,
+            buckets=buckets,
+            metrics=metrics or {},
+        )
+        nxt._publish()
+        return nxt
+
     def _publish(self) -> None:
         mdir = os.path.join(self.lake_dir, MANIFEST_DIR)
         os.makedirs(mdir, exist_ok=True)

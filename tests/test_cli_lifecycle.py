@@ -30,7 +30,7 @@ def test_every_subcommand_parses():
     for cmd in ("synth", "replay", "compact", "read", "render", "sql",
                 "diff", "delete", "purge", "upsert", "snapshot",
                 "bootstrap", "changes", "sync", "matview", "tindex", "seen", "stats",
-                "oracle", "verify"):
+                "oracle", "verify", "rebucket"):
         with pytest.raises(SystemExit) as ei:
             cli_mod.main([cmd, "--help"])
         assert ei.value.code == 0, cmd
@@ -100,3 +100,13 @@ def test_lifecycle_cli_end_to_end(tmp_path):
     rk = _cli("tindex", "rank", lake, idx, "--tokens", "lifecycle", "--k", "3")
     assert rk["ranked"] and rk["ranked"][0]["conv_id"] == "c20"
     assert rk["ranked"][0]["score"] > 0
+
+    # in-place re-partitioning: row count and the upserted row survive
+    before = _cli("sql", lake, "SELECT COUNT(*) AS n FROM final")
+    rb = _cli("rebucket", lake, "--buckets", "8", "--salt", "2")
+    assert rb["new_num_buckets"] == 8 and rb["final_version"] is not None
+    after = _cli("sql", lake, "SELECT COUNT(*) AS n FROM final")
+    assert after["preview"][0]["n"] == before["preview"][0]["n"]
+    s2 = _cli("sql", lake,
+              "SELECT text FROM final WHERE conv_id='c20' AND turn_idx=0")
+    assert s2["preview"][0]["text"] == "cli lifecycle"
