@@ -29,6 +29,18 @@ from ..stages.dedupe import dedupe_batch
 from ..stages.merge import compact_bucket, make_bucket_merge_fn, prep_batch
 from ..state.manifest import Manifest
 
+# Serializes DRIVER-SIDE ray.data.read_parquet planning across concurrent
+# replay threads (multi-writer ingest, round-4 item 5). Ray's path
+# resolution re-attempts `from fsspec.implementations.http import
+# HTTPFileSystem` on every call, catching only ModuleNotFoundError; in an
+# env without aiohttp, two threads racing that always-failing import can
+# observe a partially-torn module and get a plain ImportError that escapes
+# Ray's handler. Planning is cheap (footers only) — execution stays fully
+# parallel, so the lock costs nothing at scale.
+import threading as _threading
+
+_READ_PLAN_LOCK = _threading.Lock()
+
 
 @dataclass
 class ReplayReport:
@@ -49,6 +61,10 @@ class ReplayReport:
     stale_skipped: int = 0
     delta_rows_written: int = 0
     final_version: int = 0
+    # hot-key monitor (round-4): count of chunks whose observed top-key
+    # share exceeded what the lake's salt_factor can flatten (each also
+    # emits a warning and a manifest-metrics advisory)
+    salt_advisories: int = 0
 
     @property
     def winners_written(self) -> int:
@@ -318,8 +334,17 @@ def replay(
     chunks = plan_chunks(shard_paths, files_per_chunk, disorder_bound, metas=metas)
     report.chunks_total = len(chunks)
 
+    # THIS producer's delivered-progress view, advanced only by its own
+    # chunk commits. Chunk-skip and writer stale-filters must use it — not
+    # the live manifest — because a commit that rebases onto a concurrent
+    # producer's version (Manifest.commit retry-with-rebase) imports that
+    # producer's watermark into ``man``, and judging our own undelivered
+    # chunks against the combined total-order claim would silently skip
+    # them mid-run.
+    own_wm = man.watermarks()
+
     for paths, commit_wm, chunk_max_lsn, chunk_rows in chunks:
-        wm_global = man.global_watermark()
+        wm_global = min(own_wm.values()) if own_wm else -1
         if chunk_max_lsn <= wm_global:
             report.chunks_skipped += 1
             continue
@@ -334,7 +359,8 @@ def replay(
 
         ncpu = int(_ray.cluster_resources().get("CPU", 32))
         nblocks = max(len(paths) // 4, min(len(paths), 2 * ncpu), 1)
-        ds = ray.data.read_parquet(paths, override_num_blocks=nblocks)
+        with _READ_PLAN_LOCK:
+            ds = ray.data.read_parquet(paths, override_num_blocks=nblocks)
         # Stale rows (lsn ≤ committed watermark) are filtered AT THE WRITER
         # against each bucket's watermark, not here: the writer's count is
         # then an exact per-chunk stale_skipped metric, and correctness is
@@ -354,10 +380,10 @@ def replay(
         )
         ds = ds.map_batches(dedupe_batch, batch_format="pyarrow", batch_size=batch_size)
         if merge_mode == "direct":
-            writer = make_direct_delta_writer(lake_dir, man.watermarks())
+            writer = make_direct_delta_writer(lake_dir, dict(own_wm))
             stats_ds = ds.map_batches(writer, batch_format="pyarrow", batch_size=batch_size)
         else:
-            merge_fn = make_bucket_merge_fn(lake_dir, man.watermarks())
+            merge_fn = make_bucket_merge_fn(lake_dir, dict(own_wm))
             stats_ds = ds.groupby("bucket").map_groups(merge_fn, batch_format="pyarrow")
         stats = stats_ds.take_all()  # tiny: ≤ one row per (task, bucket)
 
@@ -386,19 +412,62 @@ def replay(
         delta_rows = sum(f["row_count"] for f in new_files)
         rows_deduped = sum(int(r.get("rows_in") or 0) for r in stats)
         stale_skipped = sum(int(r.get("stale_skipped") or 0) for r in stats)
+
+        # streaming hot-key monitor (round-4 VERDICT item 4): per-writer
+        # top-conv samples sum to a LOWER BOUND on the chunk's hottest key
+        # share — unlike detect_hot_key_salt's creation-time sample, this
+        # sees every chunk, so a conv that goes viral MID-STREAM is caught.
+        # Cost: one value_counts per task batch, already measured in stats.
+        top_counts: dict = {}
+        for r in stats:
+            tc = r.get("top_conv")
+            if tc:
+                top_counts[tc] = top_counts.get(tc, 0) + int(
+                    r.get("top_conv_rows") or 0
+                )
+        hot_key, hot_rows = (None, 0)
+        if top_counts:
+            hot_key = max(top_counts, key=top_counts.get)
+            hot_rows = top_counts[hot_key]
+        hot_share = hot_rows / rows_deduped if rows_deduped else 0.0
+        required_salt = int(np.ceil(hot_share * num_buckets))
+        advisory = (
+            hot_share > 1.5 / num_buckets and required_salt > man.salt_factor
+        )
+        metrics = {
+            "chunk_max_lsn": chunk_max_lsn,
+            "events_read": chunk_rows,
+            "rows_deduped": rows_deduped,
+            "stale_skipped": stale_skipped,
+            "delta_rows": delta_rows,
+            "hot_key": hot_key,
+            "hot_key_share": round(hot_share, 6),
+        }
+        if advisory:
+            metrics["salt_advisory"] = required_salt
+            report.salt_advisories += 1
+            import warnings
+
+            warnings.warn(
+                f"hot-key advisory: conv {hot_key!r} carries ≥{hot_share:.1%} "
+                f"of this chunk's events (observed lower bound); flattening "
+                f"it needs salt_factor ≥ {required_salt}, lake has "
+                f"{man.salt_factor}. Run rebucket(lake_dir, "
+                f"{num_buckets}, new_salt_factor={required_salt}) to "
+                "re-route in place (the per-chunk share is also recorded in "
+                "manifest metrics).",
+                stacklevel=2,
+            )
+
         man = man.commit(
             new_files,
             new_watermark_lsn=max(commit_wm, wm_global),
             schema_names=list(target_schema.names),
             schema_ipc=schema_to_b64(target_schema),
-            metrics={
-                "chunk_max_lsn": chunk_max_lsn,
-                "events_read": chunk_rows,
-                "rows_deduped": rows_deduped,
-                "stale_skipped": stale_skipped,
-                "delta_rows": delta_rows,
-            },
+            metrics=metrics,
         )
+        own_new = max(commit_wm, wm_global)
+        own_wm = {b: max(v, own_new) for b, v in own_wm.items()}
         report.chunks_applied += 1
         report.rows_deduped += rows_deduped
         report.stale_skipped += stale_skipped
@@ -757,6 +826,7 @@ def compact(
 
     refs = []
     kept_by_bucket = {}
+    consumed: set = set()
     for b in range(man.num_buckets):
         files = man.files_for_bucket(b)
         if not files:
@@ -764,6 +834,7 @@ def compact(
         if mode == "major":
             refs.append(_do.remote(b, files, "base"))
             kept_by_bucket[b] = []
+            consumed.update(f["path"] for f in files)
         else:
             if tombstone_horizon_us is not None:
                 raise ValueError(
@@ -776,6 +847,7 @@ def compact(
                 continue
             refs.append(_do.remote(b, deltas, "delta"))
             kept_by_bucket[b] = [f for f in files if f["kind"] != "delta"]
+            consumed.update(f["path"] for f in deltas)
     replace = {}
     for bucket, info in ray.get(refs):
         replace[bucket] = kept_by_bucket[bucket] + ([info] if info else [])
@@ -786,6 +858,10 @@ def compact(
         new_watermark_lsn=man.global_watermark(),
         replace_buckets=replace,
         metrics={"compaction": True, "mode": mode},
+        # rebase-able vs a concurrent ingest commit: deltas landed since
+        # this compaction read its file list are preserved by the
+        # (current − consumed) + outputs merge in Manifest.commit
+        consumed_paths=consumed,
     )
     man2.cleanup_orphans()
     return len(replace)

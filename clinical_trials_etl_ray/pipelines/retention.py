@@ -471,6 +471,9 @@ def purge_conv(lake_dir: str, conv_id: str) -> PurgeReport:
         new_watermark_lsn=man.global_watermark(),
         replace_buckets=kept,
         metrics={"purge_conv": conv_id, "rows_purged": report.rows_purged},
+        # rebase-able vs concurrent ingest: only the files this purge
+        # actually rewrote/dropped are swapped out on a rebase
+        consumed_paths={w["file"]["path"] for w in work},
     )
     report.final_version = man.version
     return report

@@ -15,11 +15,11 @@ import pandas as pd
 import pyarrow as pa
 
 from ..stages.dedup_text import (
-    N_COARSE_PARTITIONS,
     BandExploder,
     MinHasher,
     SimHasher,
     candidate_pairs_partition,
+    coarse_partitions,
     dedupe_pairs,
     exact_jaccard,
     simhash_blocks,
@@ -42,6 +42,14 @@ def _docs(sf_dir: str, columns=("doc_id", "text")):
     return ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=list(columns)
     )
+
+
+def _docs_row_count(sf_dir: str) -> int:
+    """Corpus row count from parquet metadata (no data read) — sizes the
+    coarse pair-emission shuffle (stages.dedup_text.coarse_partitions)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
 
 
 # ---------------------------------------------------------------------------
@@ -168,19 +176,28 @@ def q_near_dup_jaccard(sf_dir: str, verify: str = "auto"):
             else "join"
         )
 
+    # coarse shuffle width scales with the corpus (floor 64): each pandas
+    # group-task then holds a bounded slice of the exploded band table
+    n_parts = coarse_partitions(_docs_row_count(sf_dir), rows_per_doc=32)
+
     ds = _docs(sf_dir)
     sigs = ds.map_batches(
         MinHasher, batch_format="pandas", concurrency=(1, 12), batch_size=1024
     )
-    bands = sigs.map_batches(BandExploder, batch_format="pandas", concurrency=(1, 4))
-    # ONE coarse shuffle (64 partitions); pandas groups the band buckets inside
+    bands = sigs.map_batches(
+        BandExploder,
+        batch_format="pandas",
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"n_parts": n_parts},
+    )
+    # ONE coarse shuffle (n_parts partitions); pandas groups the band buckets inside
     cands = bands.groupby("part").map_groups(
         candidate_pairs_partition, batch_format="pandas"
     )
-    uniq = dedupe_pairs(cands)
+    uniq = dedupe_pairs(cands, n_parts=n_parts)
 
     if verify == "join":
-        return _join_verify(sf_dir, uniq)
+        return _join_verify(sf_dir, uniq, n_parts=n_parts)
 
     # the text dict is built inside a Ray task and broadcast as its return
     # ref — the driver holds only an ObjectRef even on this explicit
@@ -213,7 +230,7 @@ def q_near_dup_jaccard(sf_dir: str, verify: str = "auto"):
     return uniq.map_batches(Verifier, batch_format="pandas", concurrency=(1, 4))
 
 
-def _join_verify(sf_dir: str, uniq):
+def _join_verify(sf_dir: str, uniq, n_parts: int | None = None):
     """Distributed exact-Jaccard verification with ONE full-corpus exchange.
 
     Each candidate pair explodes into two half-rows keyed by the member doc
@@ -251,7 +268,9 @@ def _join_verify(sf_dir: str, uniq):
         from ..stages.dedup_text import pair_partition_ids
 
         return df.assign(
-            part=pair_partition_ids(df["id_a"].to_numpy(), df["id_b"].to_numpy())
+            part=pair_partition_ids(
+                df["id_a"].to_numpy(), df["id_b"].to_numpy(), n_parts
+            )
         )
 
     tagged = joined.map_batches(pair_part, batch_format="pandas")
@@ -281,17 +300,18 @@ def q_simhash_pairs(sf_dir: str):
     block LSH (pigeonhole-complete for d≤3 with 4 blocks). Pair emission per
     coarse partition uses the same vectorized lexsort run-length kernel (and
     hot-block df_cap) as the MinHash path — no nested Python pair loop."""
+    n_parts = coarse_partitions(_docs_row_count(sf_dir), rows_per_doc=4)
     ds = _docs(sf_dir)
     sigs = ds.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 4))
     blocks = sigs.map_batches(simhash_blocks, batch_format="pandas")
     blocks = blocks.map_batches(
-        lambda df: df.assign(part=(df["block_val"] % N_COARSE_PARTITIONS)),
+        lambda df: df.assign(part=(df["block_val"] % n_parts)),
         batch_format="pandas",
     )
     cand = blocks.groupby("part").map_groups(
         simhash_candidate_pairs_partition, batch_format="pandas"
     )
-    return dedupe_pairs(cand)
+    return dedupe_pairs(cand, n_parts=n_parts)
 
 
 # dropped-id sets at or below this broadcast as one sorted array (80 MB at

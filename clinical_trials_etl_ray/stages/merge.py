@@ -93,8 +93,26 @@ _STATS_SCHEMA = pa.schema(
         # base64 Bloom filter over the file's distinct conv_id hashes —
         # point-lookup file prune with no false negatives (functions/bloom)
         pa.field("conv_bloom", pa.string()),
+        # hot-key monitor (round-4 VERDICT item 4): the most frequent
+        # conv_id in this writer's slice and its row count. The driver
+        # sums counts per key across a chunk's stats rows — a LOWER BOUND
+        # on the true hottest key's share (a key is only counted in slices
+        # where it is the top), tight exactly in the heavy-skew regime the
+        # monitor exists for. Reference analog: SURVEY §4 skew row.
+        pa.field("top_conv", pa.string()),
+        pa.field("top_conv_rows", pa.int64()),
     ]
 )
+
+
+def _top_conv(t: pa.Table) -> tuple:
+    """(most frequent conv_id, its count) — vectorized value_counts."""
+    if t.num_rows == 0:
+        return None, 0
+    vc = pc.value_counts(t["conv_id"].combine_chunks())
+    counts = vc.field("counts").to_numpy()
+    i = int(np.argmax(counts))
+    return vc.field("values")[i].as_py(), int(counts[i])
 
 
 def _conv_bloom(t: pa.Table) -> str:
@@ -203,6 +221,7 @@ def make_bucket_merge_fn(lake_dir: str, watermarks: dict):
         rel = os.path.relpath(path, lake_dir)
         cmin, cmax = _conv_minmax(t)
         tmin, tmax = _ts_us_minmax(t)
+        top_conv, top_rows = _top_conv(t)
         return pa.Table.from_pydict(
             {
                 "bucket": [bucket],
@@ -219,6 +238,8 @@ def make_bucket_merge_fn(lake_dir: str, watermarks: dict):
                 "ts_us_min": [tmin],
                 "ts_us_max": [tmax],
                 "conv_bloom": [_conv_bloom(t)],
+                "top_conv": [top_conv],
+                "top_conv_rows": [top_rows],
             },
             schema=_STATS_SCHEMA,
         )
@@ -244,6 +265,9 @@ def make_direct_delta_writer(lake_dir: str, watermarks: dict):
     def write_deltas(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _STATS_SCHEMA.empty_table()
+        # hot-key monitor sample: ONE value_counts over the whole (already
+        # deduped) task batch; attached to the first stats row below
+        batch_top_conv, batch_top_rows = _top_conv(batch)
         b = batch.column("bucket").to_numpy(zero_copy_only=False)
         order = np.argsort(b, kind="stable")
         t_sorted = batch.take(pa.array(order))
@@ -298,6 +322,8 @@ def make_direct_delta_writer(lake_dir: str, watermarks: dict):
             )
         if not out:
             return _STATS_SCHEMA.empty_table()
+        out[0]["top_conv"] = batch_top_conv
+        out[0]["top_conv_rows"] = batch_top_rows
         return pa.Table.from_pylist(out, schema=_STATS_SCHEMA)
 
     return write_deltas

@@ -1,0 +1,160 @@
+"""Round-4 unit pins: input-scaled coarse partitioning (VERDICT r3 nit 1 /
+item 3), the hot-key monitor advisory (item 4), and commit
+retry-with-rebase validation rules (item 5) — the Ray-free halves; the
+end-to-end halves live in test_rebucket.py / test_stream_resolve.py /
+test_concurrent_commit.py.
+"""
+
+import os
+import warnings
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from clinical_trials_etl_ray.stages.dedup_text import (
+    COARSE_PARTITION_ROW_BUDGET,
+    MAX_COARSE_PARTITIONS,
+    N_COARSE_PARTITIONS,
+    BandExploder,
+    coarse_partitions,
+    pair_partition_ids,
+)
+
+
+def test_coarse_partitions_scales_with_corpus():
+    # floor at small corpora (keeps r3 behavior and oracle hashes)
+    assert coarse_partitions(0) == N_COARSE_PARTITIONS
+    assert coarse_partitions(60_000) == N_COARSE_PARTITIONS
+    # grows with input
+    small = coarse_partitions(100_000)
+    big = coarse_partitions(1_000_000_000)
+    assert big > small
+    assert big == -(-1_000_000_000 * 32 // COARSE_PARTITION_ROW_BUDGET)
+    # monotone
+    sizes = [10**k for k in range(3, 12)]
+    parts = [coarse_partitions(n) for n in sizes]
+    assert parts == sorted(parts)
+    # capped (scheduler overhead bound)
+    assert coarse_partitions(10**11) == MAX_COARSE_PARTITIONS
+    # simhash explodes 4 rows/doc, not 32 — fewer partitions at equal corpus
+    assert coarse_partitions(10**9, rows_per_doc=4) < coarse_partitions(
+        10**9, rows_per_doc=32
+    )
+
+
+def test_band_exploder_and_pair_ids_respect_n_parts():
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(50, dtype=np.int64),
+            "minhash_sig": [
+                np.arange(128, dtype=np.int64) + i for i in range(50)
+            ],
+        }
+    )
+    out_default = BandExploder()(df)
+    assert out_default["part"].between(0, N_COARSE_PARTITIONS - 1).all()
+    out_wide = BandExploder(n_parts=4096)(df)
+    assert out_wide["part"].max() >= N_COARSE_PARTITIONS  # actually spread
+    assert out_wide["part"].between(0, 4095).all()
+    # band content identical — only the partition tag changes
+    pd.testing.assert_frame_equal(
+        out_default.drop(columns=["part"]), out_wide.drop(columns=["part"])
+    )
+
+    a = np.arange(1000, dtype=np.int64)
+    b = a + 1
+    p_default = pair_partition_ids(a, b)
+    p_wide = pair_partition_ids(a, b, 4096)
+    assert p_default.max() < N_COARSE_PARTITIONS
+    assert p_wide.max() >= N_COARSE_PARTITIONS
+    assert (pair_partition_ids(a, b, N_COARSE_PARTITIONS) == p_default).all()
+
+
+def test_hot_key_monitor_advisory(ray_session, tmp_path):
+    """VERDICT item 4's done-criterion: a conv that goes viral MID-STREAM
+    (after lake creation froze the salt) trips the streaming monitor — a
+    warning fires, the chunk's manifest metrics record the share, and the
+    advisory names the rebucket fix. A uniform stream stays silent."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from clinical_trials_etl_ray.pipelines.replay import replay
+    from clinical_trials_etl_ray.state.manifest import Manifest
+    from clinical_trials_etl_ray.synth import BinlogSpec, write_binlog_shards
+
+    binlog = str(tmp_path / "binlog")
+    write_binlog_shards(
+        BinlogSpec(n_events=2_000, n_convs=50, seed=71, zipf_s=1.0),
+        binlog, n_shards=2, parallel=False,
+    )
+    lake = str(tmp_path / "lake")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        rep = replay(binlog, lake, num_buckets=8, files_per_chunk=1)
+    assert rep.salt_advisories == 0
+    assert not [w for w in caught if "hot-key advisory" in str(w.message)]
+    man = Manifest.load(lake)
+    assert "hot_key_share" in man.metrics  # monitored on every chunk
+    assert man.metrics["hot_key_share"] < 1.5 / 8
+
+    # gen 2: one conversation suddenly carries ~60% of the stream
+    raw = str(tmp_path / "binlog2_raw")
+    write_binlog_shards(
+        BinlogSpec(n_events=2_000, n_convs=50, seed=72, zipf_s=1.0),
+        raw, n_shards=1, parallel=False,
+    )
+    binlog2 = str(tmp_path / "binlog2")
+    os.makedirs(binlog2)
+    for name in sorted(os.listdir(raw)):
+        src = os.path.join(raw, name)
+        if name.endswith(".parquet"):
+            t = pq.read_table(src)
+            i_lsn = t.schema.get_field_index("lsn")
+            t = t.set_column(
+                i_lsn, "lsn", pc.add(t.column("lsn"), pa.scalar(100_000))
+            )
+            n = t.num_rows
+            n_hot = int(n * 0.6)
+            conv = t.column("conv_id").to_pylist()
+            conv[:n_hot] = ["chot"] * n_hot
+            # distinct turn_idx for the hot conv so salting CAN spread it
+            turn = t.column("turn_idx").to_pylist()
+            turn[:n_hot] = list(range(n_hot))
+            i_c = t.schema.get_field_index("conv_id")
+            t = t.set_column(i_c, "conv_id", pa.array(conv, pa.string()))
+            i_t = t.schema.get_field_index("turn_idx")
+            t = t.set_column(i_t, "turn_idx", pa.array(turn, pa.int32()))
+            pq.write_table(t, os.path.join(binlog2, name))
+        else:
+            import shutil
+
+            shutil.copy(src, os.path.join(binlog2, name))
+
+    with pytest.warns(UserWarning, match="hot-key advisory"):
+        rep2 = replay(binlog2, lake, num_buckets=8, files_per_chunk=1)
+    assert rep2.salt_advisories >= 1
+    man2 = Manifest.load(lake)
+    assert man2.metrics["hot_key"] == "chot"
+    assert man2.metrics["hot_key_share"] > 0.4  # lower bound, true ~0.6
+    required = man2.metrics["salt_advisory"]
+    assert required >= 4  # ceil(share × 8 buckets) at share ≳ 0.5
+
+    # the advisory's prescribed fix actually flattens the key: rebucket
+    # re-routes in place at the advised salt
+    from clinical_trials_etl_ray.pipelines.retention import rebucket
+    from clinical_trials_etl_ray.stages.merge import read_final_table
+
+    want = read_final_table(lake).to_pandas()
+    rebucket(lake, 8, new_salt_factor=int(required))
+    got = read_final_table(lake).to_pandas()
+    key = ["conv_id", "turn_idx"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key, kind="mergesort").reset_index(drop=True)[sorted(got.columns)],
+        want.sort_values(key, kind="mergesort").reset_index(drop=True)[sorted(want.columns)],
+    )
+    # the hot conv's rows now spread over `required` buckets
+    from clinical_trials_etl_ray.stages.merge import candidate_buckets
+
+    assert len(candidate_buckets("chot", 8, int(required))) > 1
