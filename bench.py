@@ -127,6 +127,10 @@ def bench_queries() -> dict:
         "dedup_survivors_minhash": textops.QUERIES["dedup_survivors_minhash"],
         "simhash_pairs": textops.QUERIES["simhash_pairs"],
         "ann_topk": textops.QUERIES["ann_topk"],
+        # approximate ANN with its exact twin (ann_topk) in the same run —
+        # standing round-over-round evidence for the compressed path
+        # (round-4 VERDICT item 6; recall vs exact is pytest-pinned)
+        "ann_topk_ivf_pq": textops.QUERIES["ann_topk_ivf_pq"],
         "token_counts": textops.QUERIES["token_counts"],
         "decontaminate_docs": textops.QUERIES["decontaminate_docs"],
         "quantiles_by_lang": analytics.QUERIES["quantiles_by_lang"],
@@ -164,6 +168,11 @@ def run_plain() -> dict:
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "ray_data_logging_quiet.yaml"),
     )
+    # the driver core_worker's C++ E-log about actor-pool constructor args
+    # in the object store (ray#53727 advisory, fires per MinHasher actor)
+    # bypasses Python logging entirely; FATAL is the only threshold above
+    # it. Real failures still surface as Python exceptions.
+    os.environ.setdefault("RAY_BACKEND_LOG_LEVEL", "FATAL")
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,

@@ -63,13 +63,18 @@ def bloom_b64_from_hashes(hashes: np.ndarray) -> str:
 
 
 def bloom_might_contain(b64: str, key_hash: int) -> bool:
-    """Membership probe; False means the key is PROVABLY absent."""
+    """Membership probe; False means the key is PROVABLY absent.
+
+    Double hashing works in Z/2^64 — probe arithmetic in plain Python ints
+    with an explicit 2^64 wrap (numpy uint64 scalar ops wrap identically
+    but emit RuntimeWarning: overflow on every probe)."""
     bits = np.frombuffer(base64.b64decode(b64), dtype=np.uint8)
-    m = np.uint64(len(bits) * 8)
-    h1 = np.uint64(key_hash)
-    h2 = _h2(h1)
+    m = len(bits) * 8
+    mask = 0xFFFFFFFFFFFFFFFF
+    h1 = int(key_hash) & mask
+    h2 = (((h1 >> 17) ^ (h1 * 0x9E3779B97F4A7C15)) & mask) | 1  # == _h2
     for i in range(BLOOM_K):
-        pos = (h1 + np.uint64(i) * h2) % m
-        if not (bits[int(pos) >> 3] >> (int(pos) & 7)) & 1:
+        pos = ((h1 + i * h2) & mask) % m
+        if not (bits[pos >> 3] >> (pos & 7)) & 1:
             return False
     return True
