@@ -41,6 +41,10 @@ import threading as _threading
 
 _READ_PLAN_LOCK = _threading.Lock()
 
+#: hot-key advisories only fire for chunks of at least this many rows —
+#: a 5-row correction batch where one conv holds every row is not skew
+HOT_KEY_ADVISORY_MIN_ROWS = 1_000
+
 
 @dataclass
 class ReplayReport:
@@ -63,8 +67,10 @@ class ReplayReport:
     final_version: int = 0
     # hot-key monitor (round-4): count of chunks whose observed top-key
     # share exceeded what the lake's salt_factor can flatten (each also
-    # emits a warning and a manifest-metrics advisory)
+    # emits a warning and a manifest-metrics advisory), and the largest
+    # salt_factor any advisory called for (0 = none fired)
     salt_advisories: int = 0
+    advised_salt: int = 0
 
     @property
     def winners_written(self) -> int:
@@ -431,8 +437,12 @@ def replay(
             hot_rows = top_counts[hot_key]
         hot_share = hot_rows / rows_deduped if rows_deduped else 0.0
         required_salt = int(np.ceil(hot_share * num_buckets))
+        # tiny chunks (corrections, backfills, test fixtures) are all
+        # "skewed" by definition — skew is only actionable at volume
         advisory = (
-            hot_share > 1.5 / num_buckets and required_salt > man.salt_factor
+            rows_deduped >= HOT_KEY_ADVISORY_MIN_ROWS
+            and hot_share > 1.5 / num_buckets
+            and required_salt > man.salt_factor
         )
         metrics = {
             "chunk_max_lsn": chunk_max_lsn,
@@ -446,6 +456,7 @@ def replay(
         if advisory:
             metrics["salt_advisory"] = required_salt
             report.salt_advisories += 1
+            report.advised_salt = max(report.advised_salt, required_salt)
             import warnings
 
             warnings.warn(
@@ -500,6 +511,7 @@ def follow(
     replica_dir: str | None = None,
     compact_min_files: int | None = None,
     expire_keep_last: int | None = None,
+    rebucket_on_advice: bool = False,
     **replay_kwargs,
 ) -> ReplayReport:
     """Tail a growing binlog directory: repeatedly replay (committed chunks
@@ -537,6 +549,15 @@ def follow(
     linearly with rounds; with it, fan-in stays O(compact_min_files) per
     bucket while each fold touches only the new deltas.
 
+    ``rebucket_on_advice``: close the skew loop — when a round's replay
+    raises a hot-key advisory (the streaming monitor observed a key share
+    the current salt_factor cannot flatten), run an in-place ``rebucket``
+    at the advised salt before the round's consumer maintenance, so the
+    matview / text index / replica adopt the new layout in the same round
+    (their refreshes migrate layouts automatically). Implies resolving
+    the salt from the manifest on later rounds (``hot_key_salt="auto"``
+    is forced), since the lake's salt now changes under the loop.
+
     ``expire_keep_last``: after each ingesting round's maintenance, retire
     all but the newest N manifest versions and reclaim their exclusively-
     owned files (``Manifest.expire_versions``). Under continuous ingest
@@ -569,6 +590,10 @@ def follow(
     idle = 0
     rounds = 0
     seen: tuple = ()
+    if rebucket_on_advice:
+        # the salt may change mid-loop; later replays must read it from
+        # the manifest rather than insisting on a caller-fixed value
+        replay_kwargs.setdefault("hot_key_salt", "auto")
     while idle < idle_rounds and (max_rounds is None or rounds < max_rounds):
         shards = tuple(
             sorted(f for f in os.listdir(binlog) if f.endswith(".parquet"))
@@ -591,6 +616,17 @@ def follow(
             total.stale_skipped += r.stale_skipped
             total.delta_rows_written += r.delta_rows_written
             total.final_version = r.final_version
+            total.salt_advisories += r.salt_advisories
+            total.advised_salt = max(total.advised_salt, r.advised_salt)
+            if rebucket_on_advice and r.advised_salt:
+                from .retention import rebucket as _rebucket
+
+                m = Manifest.load(lake_dir)
+                if r.advised_salt > m.salt_factor:
+                    _rebucket(
+                        lake_dir, m.num_buckets,
+                        new_salt_factor=r.advised_salt,
+                    )
             if compact_min_files is not None and r.chunks_applied:
                 # compact BEFORE the matview refresh so the view's bucket
                 # fingerprints record the folded file lists (otherwise the

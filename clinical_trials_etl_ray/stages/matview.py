@@ -261,6 +261,32 @@ def merge_partials(partials: pa.Table) -> pa.Table:
     return view_merge(partials, DEFAULT_SPEC).cast(MV_SCHEMA)
 
 
+def _sync_consumer_manifest(consumer_dir: str, lake_man) -> tuple:
+    """(manifest, layout_changed) for a lake CONSUMER (matview / text
+    index) whose per-bucket state mirrors the lake's bucket layout. A
+    fresh consumer is created on the lake's current layout. If the lake
+    was rebucketed since the consumer last refreshed (pipelines/retention
+    ``rebucket``), every stored per-bucket artifact is keyed by an OLD
+    lake bucket — the caller must force a full rebuild and publish it via
+    ``Manifest.commit_layout`` to adopt the new layout atomically (older
+    consumer versions keep the old layout for time travel, like the lake
+    itself)."""
+    if not Manifest.exists(consumer_dir):
+        return (
+            Manifest.create(
+                consumer_dir, lake_man.num_buckets,
+                salt_factor=lake_man.salt_factor,
+            ),
+            False,
+        )
+    man = Manifest.load(consumer_dir)
+    changed = (
+        man.num_buckets != lake_man.num_buckets
+        or man.salt_factor != lake_man.salt_factor
+    )
+    return man, changed
+
+
 def _files_fingerprint(files: list) -> str:
     """Order-insensitive digest of a bucket's committed file list. Content
     hashes name the immutable files, so equal fingerprints ⇒ byte-identical
@@ -305,9 +331,12 @@ def refresh_matview(
     import ray
 
     lake_man = Manifest.load(lake_dir)
-    mv_man = Manifest.load_or_create(
-        mv_dir, lake_man.num_buckets, salt_factor=lake_man.salt_factor
-    )
+    mv_man, layout_changed = _sync_consumer_manifest(mv_dir, lake_man)
+    if layout_changed:
+        # the lake was REBUCKETED since this view last refreshed: every
+        # stored partial is keyed by an old lake bucket — force a full
+        # rebuild and adopt the new layout atomically (commit_layout below)
+        full = True
     stored = mv_man.metrics.get("view_spec")
     if spec is None:
         spec = ViewSpec.from_json(stored) if stored else DEFAULT_SPEC
@@ -393,28 +422,39 @@ def refresh_matview(
         rows += info["row_count"] if info else 0
         schema_b64 = schema_b64 or sch
 
-    mv_man = mv_man.commit(
-        [],
-        new_watermark_lsn=lake_man.global_watermark(),
-        replace_buckets=replace,
-        schema_names=(
-            [*spec.group_keys, *(a.name for a in spec.aggs)]
-            if schema_b64
-            else None
-        ),
-        schema_ipc=schema_b64,
-        metrics={
-            "matview_refresh": True,
-            "lake_version": lake_man.version,
-            "buckets_refreshed": len(todo),
-            "rows_written": rows,
-            # full per-bucket fingerprint map (refreshed + carried-forward)
-            # — the next refresh's skip oracle
-            "bucket_fps": fps,
-            # the view definition, fixed at creation
-            "view_spec": spec.to_json(),
-        },
-    )
+    metrics = {
+        "matview_refresh": True,
+        "lake_version": lake_man.version,
+        "buckets_refreshed": len(todo),
+        "rows_written": rows,
+        # full per-bucket fingerprint map (refreshed + carried-forward)
+        # — the next refresh's skip oracle
+        "bucket_fps": fps,
+        # the view definition, fixed at creation
+        "view_spec": spec.to_json(),
+    }
+    if layout_changed:
+        metrics["layout_migrated"] = True
+        mv_man = mv_man.commit_layout(
+            lake_man.num_buckets,
+            lake_man.salt_factor,
+            {b: replace.get(b, []) for b in range(lake_man.num_buckets)},
+            new_watermark_lsn=lake_man.global_watermark(),
+            metrics=metrics,
+        )
+    else:
+        mv_man = mv_man.commit(
+            [],
+            new_watermark_lsn=lake_man.global_watermark(),
+            replace_buckets=replace,
+            schema_names=(
+                [*spec.group_keys, *(a.name for a in spec.aggs)]
+                if schema_b64
+                else None
+            ),
+            schema_ipc=schema_b64,
+            metrics=metrics,
+        )
     report.buckets_refreshed = len(todo)
     report.rows_written = rows
     report.mv_version = mv_man.version

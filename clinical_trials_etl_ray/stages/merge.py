@@ -1063,24 +1063,49 @@ def read_change_feed(
             else EVENT_SCHEMA.empty_table()
         )
 
-    def feed(batch: pa.Table) -> pa.Table:
-        out = []
-        for row in batch.to_pylist():
-            t = resolve_bucket(
-                row["lake_dir"],
-                row["bucket"],
-                files_by_bucket[row["bucket"]],
-                as_of_lsn=until_lsn,
-                since_lsn=since_lsn,
-            )
-            if committed is not None:
-                from ..schema import unify_to_schema
+    stream_min = stream_resolve_min_rows()
 
-                t = unify_to_schema(t, committed)
-            out.append(t)
-        return (
-            pa.concat_tables(out) if out else EVENT_SCHEMA.empty_table()
-        )
+    def feed(batch: pa.Table):
+        # generator UDF, same size gate as read_final_table: a FULL sync
+        # (replica bootstrap, rebucket — since_lsn=-1 touches every row)
+        # must not materialize a bucket per task; incremental polls prune
+        # to O(change) and stay on the eager path
+        emitted = False
+        for row in batch.to_pylist():
+            b = row["bucket"]
+            files = files_by_bucket[b]
+            sorted_rows = sum(
+                int(f.get("row_count") or 0) for f in files if f.get("sorted")
+            )
+            if sorted_rows >= stream_min:
+                for slab in iter_resolve_bucket(
+                    row["lake_dir"], b, files,
+                    as_of_lsn=until_lsn, since_lsn=since_lsn,
+                ):
+                    if committed is not None:
+                        from ..schema import unify_to_schema
+
+                        slab = unify_to_schema(slab, committed)
+                    if slab.num_rows:
+                        emitted = True
+                        yield slab
+            else:
+                t = resolve_bucket(
+                    row["lake_dir"], b, files,
+                    as_of_lsn=until_lsn, since_lsn=since_lsn,
+                )
+                if committed is not None:
+                    from ..schema import unify_to_schema
+
+                    t = unify_to_schema(t, committed)
+                emitted = True
+                yield t
+        if not emitted:
+            yield (
+                committed.empty_table()
+                if committed is not None
+                else EVENT_SCHEMA.empty_table()
+            )
 
     ds = ray.data.from_items(items, override_num_blocks=len(items))
     kwargs = {"concurrency": concurrency} if concurrency else {}

@@ -110,10 +110,12 @@ def refresh_text_index(
     matview-style incremental maintenance (see module docstring)."""
     import ray
 
+    from .matview import _sync_consumer_manifest
+
     lake_man = Manifest.load(lake_dir)
-    idx_man = Manifest.load_or_create(
-        idx_dir, lake_man.num_buckets, salt_factor=lake_man.salt_factor
-    )
+    idx_man, layout_changed = _sync_consumer_manifest(idx_dir, lake_man)
+    if layout_changed:
+        full = True  # postings are keyed by old lake buckets — rebuild
     report = TextIndexReport(
         buckets_total=lake_man.num_buckets, idx_version=idx_man.version
     )
@@ -163,16 +165,27 @@ def refresh_text_index(
         replace[bucket] = infos
         rows += sum(i["row_count"] for i in infos if i["kind"] == "tidx")
 
-    idx_man = idx_man.commit(
-        [],
-        new_watermark_lsn=lake_man.global_watermark(),
-        replace_buckets=replace,
-        metrics={
-            "text_index": True,
-            "lake_version": lake_man.version,
-            "bucket_fps": fps,
-        },
-    )
+    metrics = {
+        "text_index": True,
+        "lake_version": lake_man.version,
+        "bucket_fps": fps,
+    }
+    if layout_changed:
+        metrics["layout_migrated"] = True
+        idx_man = idx_man.commit_layout(
+            lake_man.num_buckets,
+            lake_man.salt_factor,
+            {b: replace.get(b, []) for b in range(lake_man.num_buckets)},
+            new_watermark_lsn=lake_man.global_watermark(),
+            metrics=metrics,
+        )
+    else:
+        idx_man = idx_man.commit(
+            [],
+            new_watermark_lsn=lake_man.global_watermark(),
+            replace_buckets=replace,
+            metrics=metrics,
+        )
     report.buckets_refreshed = len(todo)
     report.postings_written = rows
     report.idx_version = idx_man.version

@@ -125,12 +125,15 @@ def test_cleanup_orphans_age_gates_manifest_temps(tmp_path):
     assert not os.path.exists(stale)
 
 
-def test_concurrent_commit_raises_not_overwrites(tmp_path):
+def test_concurrent_commit_rebases_not_overwrites(tmp_path):
     import pytest
     """Two writers holding the same manifest version: the first commit wins
-    (create-exclusive version file IS the commit point); the second raises
-    ConcurrentWriterError instead of silently replacing lineage. A crash
-    retry that re-publishes byte-identical content is accepted."""
+    the version race (create-exclusive version file IS the commit point);
+    since round 4 the second writer REBASES onto it and lands as the next
+    version — never silently replacing lineage, never losing either
+    writer's files. The raw race is still observable with max_retries=0,
+    and a crash retry that re-publishes byte-identical content is
+    accepted."""
     from clinical_trials_etl_ray.state.manifest import (
         ConcurrentWriterError,
         Manifest,
@@ -140,6 +143,7 @@ def test_concurrent_commit_raises_not_overwrites(tmp_path):
     m = Manifest.create(lake, num_buckets=4)
     a = Manifest.load(lake)
     b = Manifest.load(lake)
+    b_norebase = Manifest.load(lake)
 
     fa = [{"bucket": 0, "path": "data/bucket=00000/delta-a.parquet",
            "kind": "delta", "content_hash": "a", "row_count": 1,
@@ -148,17 +152,23 @@ def test_concurrent_commit_raises_not_overwrites(tmp_path):
            "kind": "delta", "content_hash": "b", "row_count": 1,
            "min_lsn": 0, "max_lsn": 0}]
     a2 = a.commit(fa, new_watermark_lsn=0)
-    with pytest.raises(ConcurrentWriterError):
-        b.commit(fb, new_watermark_lsn=0)
 
-    # winner's lineage intact; loser's file never referenced
+    # the raw race (rebase disabled): loser raises, lineage intact
+    with pytest.raises(ConcurrentWriterError):
+        b_norebase.commit(fb, new_watermark_lsn=0, max_retries=0)
     cur = Manifest.load(lake)
     assert cur.version == a2.version
-    assert "data/bucket=00000/delta-a.parquet" in cur.all_files()
     assert "data/bucket=00001/delta-b.parquet" not in cur.all_files()
 
+    # default: the loser rebases and lands with BOTH writers' files
+    b2 = b.commit(fb, new_watermark_lsn=0)
+    assert b2.version == a2.version + 1
+    cur = Manifest.load(lake)
+    assert "data/bucket=00000/delta-a.parquet" in cur.all_files()
+    assert "data/bucket=00001/delta-b.parquet" in cur.all_files()
+
     # idempotent identical re-publish does not raise
-    a2._publish()
+    b2._publish()
 
 
 def test_manifest_summary(tmp_path):

@@ -71,6 +71,50 @@ def test_band_exploder_and_pair_ids_respect_n_parts():
     assert (pair_partition_ids(a, b, N_COARSE_PARTITIONS) == p_default).all()
 
 
+def _make_hot_binlog(
+    tmp_path, name, seed, lsn_shift, hot_frac, n_events=2_000, hot_conv="chot"
+):
+    """A synth binlog where ``hot_conv`` suddenly carries ``hot_frac`` of
+    all events (distinct turn_idx so salting CAN spread it)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from clinical_trials_etl_ray.synth import BinlogSpec, write_binlog_shards
+
+    raw = str(tmp_path / f"{name}_raw")
+    write_binlog_shards(
+        BinlogSpec(n_events=n_events, n_convs=50, seed=seed, zipf_s=1.0),
+        raw, n_shards=1, parallel=False,
+    )
+    out = str(tmp_path / name)
+    os.makedirs(out)
+    for fname in sorted(os.listdir(raw)):
+        src = os.path.join(raw, fname)
+        if fname.endswith(".parquet"):
+            t = pq.read_table(src)
+            i_lsn = t.schema.get_field_index("lsn")
+            t = t.set_column(
+                i_lsn, "lsn", pc.add(t.column("lsn"), pa.scalar(lsn_shift))
+            )
+            n = t.num_rows
+            n_hot = int(n * hot_frac)
+            conv = t.column("conv_id").to_pylist()
+            conv[:n_hot] = [hot_conv] * n_hot
+            turn = t.column("turn_idx").to_pylist()
+            turn[:n_hot] = list(range(n_hot))
+            i_c = t.schema.get_field_index("conv_id")
+            t = t.set_column(i_c, "conv_id", pa.array(conv, pa.string()))
+            i_t = t.schema.get_field_index("turn_idx")
+            t = t.set_column(i_t, "turn_idx", pa.array(turn, pa.int32()))
+            pq.write_table(t, os.path.join(out, fname))
+        else:
+            shutil.copy(src, os.path.join(out, fname))
+    return out
+
+
 def test_hot_key_monitor_advisory(ray_session, tmp_path):
     """VERDICT item 4's done-criterion: a conv that goes viral MID-STREAM
     (after lake creation froze the salt) trips the streaming monitor — a
@@ -100,37 +144,9 @@ def test_hot_key_monitor_advisory(ray_session, tmp_path):
     assert man.metrics["hot_key_share"] < 1.5 / 8
 
     # gen 2: one conversation suddenly carries ~60% of the stream
-    raw = str(tmp_path / "binlog2_raw")
-    write_binlog_shards(
-        BinlogSpec(n_events=2_000, n_convs=50, seed=72, zipf_s=1.0),
-        raw, n_shards=1, parallel=False,
+    binlog2 = _make_hot_binlog(
+        tmp_path, "binlog2", seed=72, lsn_shift=100_000, hot_frac=0.6
     )
-    binlog2 = str(tmp_path / "binlog2")
-    os.makedirs(binlog2)
-    for name in sorted(os.listdir(raw)):
-        src = os.path.join(raw, name)
-        if name.endswith(".parquet"):
-            t = pq.read_table(src)
-            i_lsn = t.schema.get_field_index("lsn")
-            t = t.set_column(
-                i_lsn, "lsn", pc.add(t.column("lsn"), pa.scalar(100_000))
-            )
-            n = t.num_rows
-            n_hot = int(n * 0.6)
-            conv = t.column("conv_id").to_pylist()
-            conv[:n_hot] = ["chot"] * n_hot
-            # distinct turn_idx for the hot conv so salting CAN spread it
-            turn = t.column("turn_idx").to_pylist()
-            turn[:n_hot] = list(range(n_hot))
-            i_c = t.schema.get_field_index("conv_id")
-            t = t.set_column(i_c, "conv_id", pa.array(conv, pa.string()))
-            i_t = t.schema.get_field_index("turn_idx")
-            t = t.set_column(i_t, "turn_idx", pa.array(turn, pa.int32()))
-            pq.write_table(t, os.path.join(binlog2, name))
-        else:
-            import shutil
-
-            shutil.copy(src, os.path.join(binlog2, name))
 
     with pytest.warns(UserWarning, match="hot-key advisory"):
         rep2 = replay(binlog2, lake, num_buckets=8, files_per_chunk=1)
@@ -158,3 +174,116 @@ def test_hot_key_monitor_advisory(ray_session, tmp_path):
     from clinical_trials_etl_ray.stages.merge import candidate_buckets
 
     assert len(candidate_buckets("chot", 8, int(required))) > 1
+
+
+def test_consumers_migrate_after_rebucket(ray_session, tmp_path):
+    """A matview and a text index built on the old layout survive a lake
+    rebucket: the next refresh detects the layout change, rebuilds fully,
+    and adopts the new layout atomically (commit_layout) — results equal a
+    from-scratch build on the rebucketed lake."""
+    import pandas as _pd
+
+    from clinical_trials_etl_ray.pipelines.replay import replay
+    from clinical_trials_etl_ray.pipelines.retention import rebucket
+    from clinical_trials_etl_ray.stages.matview import (
+        build_matview,
+        read_matview,
+        refresh_matview,
+    )
+    from clinical_trials_etl_ray.stages.textindex import (
+        build_text_index,
+        refresh_text_index,
+        search_text_index,
+    )
+    from clinical_trials_etl_ray.state.manifest import Manifest
+    from clinical_trials_etl_ray.synth import BinlogSpec, write_binlog_shards
+
+    binlog = str(tmp_path / "binlog")
+    write_binlog_shards(
+        BinlogSpec(n_events=3_000, n_convs=30, seed=91, delete_rate=0.05),
+        binlog, n_shards=2, parallel=False,
+    )
+    lake = str(tmp_path / "lake")
+    replay(binlog, lake, num_buckets=4, files_per_chunk=1)
+    mv = str(tmp_path / "mv")
+    build_matview(lake, mv)
+    idx = str(tmp_path / "idx")
+    build_text_index(lake, idx)
+    probe_tokens = ["t"]  # synth text is 't|<conv>|<turn>|...' tokens
+
+    def _mv_df(d):
+        df = read_matview(d).to_pandas()
+        return (
+            df[sorted(df.columns)]
+            .sort_values(sorted(df.columns)[0], kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    want_search = search_text_index(idx, probe_tokens).to_pandas()
+
+    rebucket(lake, 8, new_salt_factor=2)
+
+    mv_rep = refresh_matview(lake, mv)
+    man_mv = Manifest.load(mv)
+    assert man_mv.num_buckets == 8 and man_mv.salt_factor == 2
+    assert man_mv.metrics.get("layout_migrated") is True
+    assert mv_rep.buckets_refreshed == 8  # full rebuild
+
+    idx_rep = refresh_text_index(lake, idx)
+    man_idx = Manifest.load(idx)
+    assert man_idx.num_buckets == 8 and man_idx.salt_factor == 2
+    assert man_idx.metrics.get("layout_migrated") is True
+
+    # results equal a from-scratch build on the rebucketed lake
+    mv_fresh = str(tmp_path / "mv_fresh")
+    build_matview(lake, mv_fresh)
+    _pd.testing.assert_frame_equal(_mv_df(mv), _mv_df(mv_fresh))
+    got_search = search_text_index(idx, probe_tokens).to_pandas()
+    _pd.testing.assert_frame_equal(got_search, want_search)
+
+    # a second refresh with no lake change is a clean no-op on the new
+    # layout (fingerprints now keyed by the new buckets)
+    assert refresh_matview(lake, mv).buckets_refreshed == 0
+    assert refresh_text_index(lake, idx).buckets_refreshed == 0
+
+
+def test_follow_auto_rebucket_closes_skew_loop(ray_session, tmp_path):
+    """follow(rebucket_on_advice=True): a hot-key advisory in a round
+    triggers an in-place rebucket at the advised salt, and the same
+    round's consumer maintenance adopts the new layout."""
+    from clinical_trials_etl_ray.pipelines.replay import follow, replay
+    from clinical_trials_etl_ray.stages.matview import read_matview
+    from clinical_trials_etl_ray.stages.merge import read_final_table
+    from clinical_trials_etl_ray.state.manifest import Manifest
+
+    binlog = _make_hot_binlog(
+        tmp_path, "binlog_hot", seed=95, lsn_shift=0, hot_frac=0.6
+    )
+    lake = str(tmp_path / "lake")
+    mv = str(tmp_path / "mv")
+    with pytest.warns(UserWarning, match="hot-key advisory"):
+        rep = follow(
+            binlog, lake,
+            poll_interval_s=0.1, idle_rounds=1, max_rounds=3,
+            matview_dir=mv, rebucket_on_advice=True,
+            num_buckets=8, files_per_chunk=1,
+        )
+    assert rep.advised_salt >= 4
+    man = Manifest.load(lake)
+    assert man.salt_factor == rep.advised_salt  # the loop closed
+    assert Manifest.load(mv).salt_factor == rep.advised_salt
+
+    # state intact: equals a plain replay of the same log (whose own
+    # advisory on the same hot key is expected — swallow it)
+    plain = str(tmp_path / "plain")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        replay(binlog, plain, num_buckets=8, files_per_chunk=1)
+    key = ["conv_id", "turn_idx"]
+    got = read_final_table(lake).to_pandas()
+    want = read_final_table(plain).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values(key, kind="mergesort").reset_index(drop=True)[sorted(got.columns)],
+        want.sort_values(key, kind="mergesort").reset_index(drop=True)[sorted(want.columns)],
+    )
+    assert read_matview(mv).to_pandas().shape[0] > 0

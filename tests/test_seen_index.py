@@ -103,10 +103,12 @@ def test_filter_unseen_is_cross_run_only(ray_session, tmp_path):
     assert list(got.columns) == ["doc_id", "text"]
 
 
-def test_concurrent_index_writers_fail_loudly(ray_session, tmp_path):
-    """Two updates racing to the same index version: the loser gets
-    ConcurrentWriterError (same optimistic-concurrency protocol as the
-    lake), never a silent lineage overwrite."""
+def test_concurrent_index_writers_coordinate(ray_session, tmp_path):
+    """Two updates racing to the same index version: the raw race is an
+    exclusive-create loss (observable with max_retries=0, same protocol as
+    the lake); since round 4 the default path REBASES the losing append
+    onto the winner — both writers' postings stay referenced, lineage is
+    never silently overwritten."""
     from clinical_trials_etl_ray.state.manifest import (
         ConcurrentWriterError,
         Manifest,
@@ -124,9 +126,17 @@ def test_concurrent_index_writers_fail_loudly(ray_session, tmp_path):
     update_seen_index(
         idx, _docs_ds([{"doc_id": 1, "text": "w2"}]), num_buckets=4
     )
-    # ...so the stale handle's commit to the now-taken version must fail
+    # ...the stale handle's raw commit to the now-taken version loses
     with pytest.raises(ConcurrentWriterError):
-        stale.commit([], new_watermark_lsn=stale.global_watermark())
+        stale.commit(
+            [], new_watermark_lsn=stale.global_watermark(), max_retries=0
+        )
+    # and the default rebase path lands it WITHOUT dropping the winner's
+    # files (an empty append preserves the newer lineage wholesale)
+    before = Manifest.load(idx)
+    landed = stale.commit([], new_watermark_lsn=stale.global_watermark())
+    assert landed.version == before.version + 1
+    assert Manifest.load(idx).all_files() == before.all_files()
 
 
 def test_cli_seen_update_and_filter(tmp_path):

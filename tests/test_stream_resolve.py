@@ -253,6 +253,34 @@ def test_streaming_compaction_tombstone_horizon(steady_lake):
     assert dropped_any  # the horizon actually exercised tombstone dropping
 
 
+def test_change_feed_streaming_forced(steady_lake, monkeypatch):
+    """The change feed (full replica syncs / rebucket read everything via
+    since_lsn=-1) streams through the same k-way merge when forced."""
+    from clinical_trials_etl_ray.stages.merge import read_change_feed
+
+    key = ["conv_id", "turn_idx", "lsn"]
+
+    def _feed(**kw) -> pd.DataFrame:
+        df = read_change_feed(steady_lake, **kw).to_pandas()
+        return (
+            df[sorted(df.columns)]
+            .sort_values(key, kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    want_full = _feed(since_lsn=-1)
+    man = Manifest.load(steady_lake)
+    mid = sorted(
+        int(f["max_lsn"])
+        for b in range(man.num_buckets)
+        for f in man.files_for_bucket(b)
+    )[2]
+    want_win = _feed(since_lsn=mid)
+    monkeypatch.setenv("CTE_STREAM_RESOLVE_MIN_ROWS", "1")
+    pd.testing.assert_frame_equal(_feed(since_lsn=-1), want_full)
+    pd.testing.assert_frame_equal(_feed(since_lsn=mid), want_win)
+
+
 def test_read_final_table_streaming_forced(steady_lake, monkeypatch):
     want = _final(steady_lake)
     monkeypatch.setenv("CTE_STREAM_RESOLVE_MIN_ROWS", "1")
