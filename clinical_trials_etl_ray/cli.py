@@ -84,6 +84,11 @@ def main(argv=None) -> int:
                     help="(--follow) retire all but the newest N manifest "
                          "versions after each round — bounds manifest "
                          "growth under continuous ingest")
+    rp.add_argument("--rebucket-on-advice", action="store_true",
+                    help="(--follow) when a round's hot-key advisory fires, "
+                         "rebucket in place at the advised salt before that "
+                         "round's matview/tindex/replica maintenance "
+                         "(implies --hot-key-salt auto on later rounds)")
 
     cp = sub.add_parser("compact")
     cp.add_argument("lake_dir")
@@ -436,7 +441,8 @@ def main(argv=None) -> int:
                            tindex_dir=args.tindex_dir,
                            replica_dir=args.replica_dir,
                            compact_min_files=args.compact_min_files,
-                           expire_keep_last=args.expire_keep_last, **kw)
+                           expire_keep_last=args.expire_keep_last,
+                           rebucket_on_advice=args.rebucket_on_advice, **kw)
             else:
                 r = replay(args.binlog_dir, args.lake_dir, **kw)
             print(json.dumps(r.__dict__))

@@ -1348,6 +1348,82 @@ def compact_bucket(
     }
 
 
+def _paired_key_slabs(iter_a, iter_b):
+    """Align two key-sorted unique-key winner streams (iter_resolve_bucket
+    outputs) into (slab_a, slab_b) pairs covering the SAME key range —
+    every key's (old, new) versions meet in exactly one pair, in bounded
+    memory (the two-stream sibling of ``_kway_merge_lww``'s safe-boundary
+    rule; a key below both streams' buffered max cannot appear again in
+    either)."""
+    iters = [iter(iter_a), iter(iter_b)]
+    bufs: list = [None, None]
+    done = [False, False]
+
+    def refill(i) -> bool:
+        while True:
+            try:
+                t = next(iters[i])
+            except StopIteration:
+                done[i] = True
+                return False
+            if t.num_rows:
+                t = t.append_column("__key", _merge_key(t))
+                bufs[i] = (
+                    t
+                    if bufs[i] is None or bufs[i].num_rows == 0
+                    else pa.concat_tables([bufs[i], t])
+                )
+                return True
+
+    refill(0)
+    refill(1)
+    while True:
+        for i in (0, 1):
+            if not done[i] and (bufs[i] is None or bufs[i].num_rows == 0):
+                refill(i)
+        have = [i for i in (0, 1) if bufs[i] is not None and bufs[i].num_rows]
+        active = [i for i in (0, 1) if not done[i]]
+        if not have:
+            if not active:
+                return
+            continue
+        if active:
+            safe = min(bufs[i]["__key"][-1].as_py() for i in active)
+            out = [None, None]
+            total = 0
+            for i in have:
+                n_lt = int(
+                    pc.sum(
+                        pc.cast(pc.less(bufs[i]["__key"], safe), pa.int64())
+                    ).as_py()
+                    or 0
+                )
+                if n_lt:
+                    out[i] = bufs[i].slice(0, n_lt)
+                    bufs[i] = (
+                        None if n_lt == bufs[i].num_rows else bufs[i].slice(n_lt)
+                    )
+                    total += n_lt
+            if total == 0:
+                for i in active:
+                    if (
+                        bufs[i] is None
+                        or bufs[i].num_rows == 0
+                        or bufs[i]["__key"][-1].as_py() == safe
+                    ):
+                        refill(i)
+                continue
+        else:
+            out = [bufs[0], bufs[1]]
+            bufs = [None, None]
+        yield (
+            out[0].drop_columns(["__key"]) if out[0] is not None else None,
+            out[1].drop_columns(["__key"]) if out[1] is not None else None,
+        )
+        if not active and all(b is None or b.num_rows == 0 for b in bufs):
+            return
+
+
 def diff_versions(lake_dir: str, v_old: int, v_new: int | None = None):
     """Audit diff between two committed versions of the SAME lake: a Ray
     Dataset of the rows you would apply to the ``v_old`` state to obtain
@@ -1415,56 +1491,97 @@ def diff_versions(lake_dir: str, v_old: int, v_new: int | None = None):
     if not todo:
         return ray.data.from_arrow(out_schema.empty_table())
 
-    def diff(batch: pa.Table) -> pa.Table:
+    def _diff_tables(old: pa.Table, new: pa.Table) -> list:
+        """Vectorized audit diff of aligned (same key range) winner sets:
+        v_new rows whose (key, ts, lsn, op) identity changed, plus
+        synthetic op='purge' rows for keys present only in v_old."""
         out = []
+
+        def key(t):
+            return pc.binary_join_element_wise(
+                t["conv_id"].cast(pa.string()),
+                pc.cast(t["turn_idx"], pa.string()),
+                "\x1f",
+            )
+
+        ko, kn = key(old), key(new)
+        # identity of a winner = (key, ts, lsn, op); any change in
+        # those re-emits the v_new row
+        def ident(t, k):
+            return pc.binary_join_element_wise(
+                k,
+                pc.cast(t["ts"].cast(pa.int64()), pa.string()),
+                pc.cast(t["lsn"], pa.string()),
+                t["op"].cast(pa.string()),
+                "\x1f",
+            )
+
+        io_, in_ = ident(old, ko), ident(new, kn)
+        changed = pc.invert(pc.is_in(in_, value_set=io_.combine_chunks()))
+        out.append(new.filter(changed))
+
+        # keys physically gone from v_new (purge): in old, not in new
+        gone = pc.invert(pc.is_in(ko, value_set=kn.combine_chunks()))
+        gone_rows = old.filter(gone)
+        if gone_rows.num_rows:
+            n = gone_rows.num_rows
+            purge = gone_rows.set_column(
+                gone_rows.column_names.index("op"),
+                "op",
+                pa.array(["purge"] * n, pa.string()),
+            )
+            out.append(purge)
+        return out
+
+    stream_min = stream_resolve_min_rows()
+
+    def diff(batch: pa.Table):
+        # generator UDF: big buckets diff as aligned streaming slab pairs
+        # (each version resolved via the bounded-memory k-way merge), so a
+        # version audit never holds two full bucket copies per task
+        emitted = False
         for row in batch.to_pylist():
             b = row["bucket"]
-            old = resolve_bucket(lake_dir, b, files_old[b])
-            new = resolve_bucket(lake_dir, b, files_new[b])
-            old = unify_to_schema(old, out_schema)
-            new = unify_to_schema(new, out_schema)
-
-            def key(t):
-                import pyarrow.compute as _pc
-
-                return _pc.binary_join_element_wise(
-                    t["conv_id"].cast(pa.string()),
-                    _pc.cast(t["turn_idx"], pa.string()),
-                    "\x1f",
+            big = max(
+                sum(
+                    int(f.get("row_count") or 0)
+                    for f in fl
+                    if f.get("sorted")
                 )
-
-            ko, kn = key(old), key(new)
-            # identity of a winner = (key, ts, lsn, op); any change in
-            # those re-emits the v_new row
-            def ident(t, k):
-                import pyarrow.compute as _pc
-
-                return _pc.binary_join_element_wise(
-                    k,
-                    _pc.cast(t["ts"].cast(pa.int64()), pa.string()),
-                    _pc.cast(t["lsn"], pa.string()),
-                    t["op"].cast(pa.string()),
-                    "\x1f",
+                for fl in (files_old[b], files_new[b])
+            )
+            if big >= stream_min:
+                pairs = _paired_key_slabs(
+                    iter_resolve_bucket(lake_dir, b, files_old[b]),
+                    iter_resolve_bucket(lake_dir, b, files_new[b]),
                 )
-
-            io_, in_ = ident(old, ko), ident(new, kn)
-            changed = pc.invert(pc.is_in(in_, value_set=io_.combine_chunks()))
-            out.append(new.filter(changed))
-
-            # keys physically gone from v_new (purge): in old, not in new
-            gone = pc.invert(pc.is_in(ko, value_set=kn.combine_chunks()))
-            gone_rows = old.filter(gone)
-            if gone_rows.num_rows:
-                n = gone_rows.num_rows
-                purge = gone_rows.set_column(
-                    gone_rows.column_names.index("op"),
-                    "op",
-                    pa.array(["purge"] * n, pa.string()),
+                for slab_old, slab_new in pairs:
+                    old = unify_to_schema(
+                        slab_old if slab_old is not None
+                        else out_schema.empty_table(),
+                        out_schema,
+                    )
+                    new = unify_to_schema(
+                        slab_new if slab_new is not None
+                        else out_schema.empty_table(),
+                        out_schema,
+                    )
+                    for t in _diff_tables(old, new):
+                        if t.num_rows:
+                            emitted = True
+                            yield t
+            else:
+                old = unify_to_schema(
+                    resolve_bucket(lake_dir, b, files_old[b]), out_schema
                 )
-                out.append(purge)
-        return (
-            pa.concat_tables(out) if out else out_schema.empty_table()
-        )
+                new = unify_to_schema(
+                    resolve_bucket(lake_dir, b, files_new[b]), out_schema
+                )
+                for t in _diff_tables(old, new):
+                    emitted = True
+                    yield t
+        if not emitted:
+            yield out_schema.empty_table()
 
     ds = ray.data.from_items(todo, override_num_blocks=len(todo))
     return ds.map_batches(diff, batch_format="pyarrow", batch_size=1)

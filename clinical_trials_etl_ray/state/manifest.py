@@ -520,6 +520,29 @@ class Manifest:
             k["files"] += 1
             k["rows"] += int(f.get("row_count") or 0)
         wms = [self.watermark(b) for b in range(self.num_buckets)]
+        # skew observability: every retained commit whose hot-key monitor
+        # raised a salt advisory (pipelines/replay.py), newest last —
+        # `stats` surfaces whether the lake needs (or already got) a
+        # rebucket without opening any data file
+        advisories = []
+        for v in self._retained_versions()[-50:]:
+            try:
+                m = (
+                    self.metrics
+                    if v == self.version
+                    else Manifest.load_version(self.lake_dir, v).metrics
+                )
+            except (OSError, ValueError):
+                continue
+            if m.get("salt_advisory"):
+                advisories.append(
+                    {
+                        "version": v,
+                        "hot_key": m.get("hot_key"),
+                        "hot_key_share": m.get("hot_key_share"),
+                        "advised_salt": m.get("salt_advisory"),
+                    }
+                )
         return {
             "version": self.version,
             "versions_retained": self._retained_versions(),
@@ -537,6 +560,7 @@ class Manifest:
             ),
             "watermark_min": min(wms, default=-1),
             "watermark_max": max(wms, default=-1),
+            "hot_key_advisories": advisories,
             "last_commit_metrics": self.metrics,
         }
 

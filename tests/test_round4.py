@@ -156,6 +156,11 @@ def test_hot_key_monitor_advisory(ray_session, tmp_path):
     assert man2.metrics["hot_key_share"] > 0.4  # lower bound, true ~0.6
     required = man2.metrics["salt_advisory"]
     assert required >= 4  # ceil(share × 8 buckets) at share ≳ 0.5
+    # observability: `stats` surfaces the advisory history from retained
+    # manifest versions (no data file opened)
+    adv = man2.summary()["hot_key_advisories"]
+    assert adv and adv[-1]["hot_key"] == "chot"
+    assert adv[-1]["advised_salt"] == required
 
     # the advisory's prescribed fix actually flattens the key: rebucket
     # re-routes in place at the advised salt

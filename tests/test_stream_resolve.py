@@ -281,6 +281,30 @@ def test_change_feed_streaming_forced(steady_lake, monkeypatch):
     pd.testing.assert_frame_equal(_feed(since_lsn=mid), want_win)
 
 
+def test_diff_versions_streaming_forced(steady_lake, monkeypatch):
+    """Version audits stream too: the forced paired-slab diff equals the
+    eager two-table diff (changed rows AND purge rows)."""
+    from clinical_trials_etl_ray.stages.merge import diff_versions
+
+    versions = Manifest._versions_on_disk(steady_lake)
+    v_old = versions[len(versions) // 2]
+
+    def _diff() -> pd.DataFrame:
+        df = diff_versions(steady_lake, v_old).to_pandas()
+        key = ["conv_id", "turn_idx", "lsn", "op"]
+        return (
+            df[sorted(df.columns)]
+            .sort_values(key, kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    want = _diff()
+    assert len(want) > 0  # the fixture's gen-2 ingest changed winners
+    monkeypatch.setenv("CTE_STREAM_RESOLVE_MIN_ROWS", "1")
+    got = _diff()
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_read_final_table_streaming_forced(steady_lake, monkeypatch):
     want = _final(steady_lake)
     monkeypatch.setenv("CTE_STREAM_RESOLVE_MIN_ROWS", "1")
