@@ -74,6 +74,7 @@ _TAIL = [
     "text_search_index",    # oracle-bearing; pytest-enforced (window is full)
     "bm25_rank",            # oracle-bearing; pytest-enforced (window is full)
     "render_conversations", # oracle-bearing; pytest-enforced (window is full)
+    "cdc_rebucket_final",   # oracle-bearing; pytest-enforced (window is full)
     "near_dup_clusters",    # oracle-bearing; pytest-enforced (window is full)
     "decontaminate_docs",   # oracle-bearing; pytest-enforced (window is full)
     "decon_cosine",         # oracle-bearing; pytest-enforced (window is full)

@@ -92,6 +92,7 @@ def run_cdc_replay(
     conv_range: tuple | None = None,
     ts_min=None,
     delete_conv_range: tuple | None = None,
+    rebucket_to: tuple | None = None,
 ):
     """Full engine E2E: derive binlog → write shards → chunked replay with
     manifest commits → shuffle-free final-table read. Returns the final
@@ -115,6 +116,11 @@ def run_cdc_replay(
         delete_where(lake_dir, conv_range=delete_conv_range)
     if compact_first:
         compact(lake_dir)
+    if rebucket_to is not None:
+        from .retention import rebucket
+
+        new_buckets, new_salt = rebucket_to
+        rebucket(lake_dir, new_buckets, new_salt_factor=new_salt)
     final = read_final_table(lake_dir, conv_range=conv_range, ts_min=ts_min)
     # materialize before cleaning the temp lake (result is ~#keys rows, small
     # relative to the log; the heavy work happened in the replay above)
@@ -209,6 +215,17 @@ def q_cdc_lww_winners(sf_dir: str):
 
 def q_cdc_replay_final(sf_dir: str):
     return run_cdc_replay(sf_dir)
+
+
+def q_cdc_rebucket_final(sf_dir: str):
+    """In-place re-partitioning is state-preserving (round-4 `rebucket`,
+    pipelines/retention.py): replay → major compaction (sorted bases) →
+    rebucket 16→24 buckets with salt 1→2 → read on the NEW layout. Oracle:
+    the same SQL_FINAL as cdc_replay_final — the layout change must not
+    alter a single row."""
+    return run_cdc_replay(
+        sf_dir, compact_first=True, rebucket_to=(24, 2)
+    )
 
 
 def q_cdc_final_by_role(sf_dir: str):
@@ -966,6 +983,7 @@ QUERIES = {
     "bm25_rank": q_bm25_rank,
     "render_conversations": q_render_conversations,
     "validate_events": q_validate_events,
+    "cdc_rebucket_final": q_cdc_rebucket_final,
 }
 
 ORACLE_SQL = {
@@ -988,4 +1006,5 @@ ORACLE_SQL = {
     "bm25_rank": SQL_BM25_RANK,
     "render_conversations": SQL_RENDER_CONVERSATIONS,
     "validate_events": SQL_VALIDATE_EVENTS,
+    "cdc_rebucket_final": SQL_FINAL,
 }

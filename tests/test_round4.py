@@ -292,3 +292,20 @@ def test_follow_auto_rebucket_closes_skew_loop(ray_session, tmp_path):
         want.sort_values(key, kind="mergesort").reset_index(drop=True)[sorted(want.columns)],
     )
     assert read_matview(mv).to_pandas().shape[0] > 0
+
+
+def test_cdc_rebucket_final_matches_oracle(ray_session):
+    """Tail oracle pin (the driver's 50-slot window is full):
+    "cdc_rebucket_final" — replay → major compaction → in-place rebucket
+    16→24 buckets / salt 1→2 → read on the NEW layout — must equal the
+    same SQL_FINAL oracle as cdc_replay_final: re-partitioning alters no
+    row (driver-style rows+schema+values comparison)."""
+    import __ray_entry__ as entrymod
+
+    from util_compare import assert_matches_oracle
+
+    name = "cdc_rebucket_final"
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    sf = "/root/testdata/sf0.001"
+    assert_matches_oracle(q(sf), sql, sf)
