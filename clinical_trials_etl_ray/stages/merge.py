@@ -710,6 +710,14 @@ def iter_resolve_bucket(
 
     sorted_files = [f for f in files if f.get("sorted")]
     unsorted = [f for f in files if not f.get("sorted")]
+    # total buffered rows ≈ (#sorted runs × stream_rows): a bucket that
+    # accumulated many sorted generations (repeated minor compactions
+    # without a major fold) scales each run's batch DOWN so the merge's
+    # working set stays ~4×stream_rows regardless of k. Any batch size is
+    # correct (the safe-boundary rule is size-agnostic); this only bounds
+    # memory.
+    if len(sorted_files) > 4:
+        stream_rows = max(16_384, (stream_rows * 4) // len(sorted_files))
     runs: list = []
     if unsorted:
         conv_filter = _conv_range_filter(conv_range)

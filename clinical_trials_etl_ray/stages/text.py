@@ -125,31 +125,34 @@ class Fingerprinter:
     BASE = np.uint64(257)
     WINDOW = 16
 
+    # Scalar hash arithmetic runs in Python ints with an explicit 2^64 wrap
+    # (identical values to uint64 wrapping, but numpy SCALAR ops emit
+    # RuntimeWarning: overflow on every wrap); vector ops wrap silently.
+    _MASK = (1 << 64) - 1
+
     def __init__(self, n_keep: int = 4):
         self.n_keep = n_keep
-        # precompute BASE^(WINDOW-1) for the rolling update
-        p = np.uint64(1)
-        for _ in range(self.WINDOW - 1):
-            p = p * self.BASE
-        self.pow_w = p
+        # precompute BASE^(WINDOW-1) (mod 2^64) for the rolling update
+        self.pow_w = np.uint64(pow(int(self.BASE), self.WINDOW - 1, 1 << 64))
 
     def _rolling_min(self, s: str) -> list:
         b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
         w = self.WINDOW
+        base = int(self.BASE)
         if len(b) < w:
-            h = np.uint64(0)
+            h = 0
             for x in b:  # < WINDOW iterations
-                h = h * self.BASE + x
-            return [int(h)] * self.n_keep
+                h = (h * base + int(x)) & self._MASK
+            return [h] * self.n_keep
         # vectorized: the rolling recurrence equals the direct polynomial
         # h_i = sum_j b[i+j]*BASE^(w-1-j) (mod 2^64), computed as w shifted
         # vector adds — no O(len) Python loop
         n = len(b) - w + 1
         hashes = np.zeros(n, dtype=np.uint64)
-        p = np.uint64(1)
+        p = 1
         for j in range(w - 1, -1, -1):  # w=16 vectorized passes
-            hashes += b[j : j + n] * p
-            p = p * self.BASE
+            hashes += b[j : j + n] * np.uint64(p)
+            p = (p * base) & self._MASK
         return sorted(np.unique(hashes)[: self.n_keep].tolist())
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:

@@ -228,7 +228,7 @@ def test_upsert_table_corrections(lake):
         "role": pa.array(victims["role"].tolist(), pa.string()),
         "text": pa.array(["fixed"] * 3, pa.string()),
         "tool": pa.array([None] * 3, pa.string()),
-        "ts": pa.array(victims["ts"].dt.to_pydatetime(), pa.timestamp("us")),
+        "ts": pa.array(victims["ts"].to_numpy()).cast(pa.timestamp("us")),
         "op": pa.array(["update", "update", "delete"], pa.string()),
     })
     rep = upsert_table(lake, corr)

@@ -284,7 +284,10 @@ def test_prefix_read_is_bounded(tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.filterwarnings("ignore:overflow encountered")
 def test_rolling_fingerprint_matches_scalar_reference():
+    # the scalar REFERENCE below wraps uint64 on purpose (numpy warns per
+    # scalar wrap); the production Fingerprinter is warning-free
     from clinical_trials_etl_ray.stages.text import Fingerprinter
 
     fp = Fingerprinter()
@@ -347,7 +350,10 @@ def test_simhash_pair_kernel_matches_naive():
     assert got_set == naive
 
 
+@pytest.mark.filterwarnings("ignore:hot-key advisory")
 def test_detect_hot_key_salt(ray_session, tmp_path):
+    # the deliberately skewed binlog here legitimately trips the round-4
+    # streaming hot-key advisory on the salt_factor=1 comparison lake
     from clinical_trials_etl_ray.pipelines.replay import (
         detect_hot_key_salt,
         replay,
