@@ -83,6 +83,7 @@ _TAIL = [
     "approx_distinct_lang",   # rows-only (grouped HLL)
     "stratified_sample",    # oracle-bearing; pytest-enforced (window is full)
     "dedup_incremental",    # oracle-bearing; pytest-enforced (window is full)
+    "near_dup_incremental", # oracle-bearing; pytest-enforced (window is full)
     "repetition_scores",    # oracle-bearing; pytest-enforced (window is full)
     "seeded_shuffle",       # oracle-bearing; pytest-enforced (window is full)
     "weighted_sample_source",  # oracle-bearing; pytest-enforced (window full)

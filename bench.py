@@ -333,6 +333,23 @@ def run_scaling() -> dict:
     eff_paired_median = paired[len(paired) // 2] if len(paired) % 2 else (
         (paired[len(paired) // 2 - 1] + paired[len(paired) // 2]) / 2
     )
+    # bandwidth-normalized view: the replay's measured scaling divided by
+    # the MACHINE's own memcpy process-scaling in the same window (mean of
+    # the bracketing probes; (4p/1p)/(hi/lo) == 1 on an uncontended
+    # host with linear memory bandwidth). This is the honest multi-node
+    # proxy on a shared VM: a replay at 0.75 raw while memcpy itself only
+    # scales 0.80 across processes is running at ~94% of the machine's
+    # copy-scaling ceiling — on a real cluster each node brings its own
+    # memory bus, so the cap does not exist. Reported alongside (never
+    # instead of) the raw ratio; capped at the raw value's ceiling of 1.
+    probe_eff = []
+    for p in (probe_before, probe_after):
+        if p["memcpy_1p_gbps"] > 0:
+            probe_eff.append(
+                (p["memcpy_4p_gbps"] / p["memcpy_1p_gbps"]) / (n_hi / n_lo)
+            )
+    machine_scaling = sum(probe_eff) / len(probe_eff) if probe_eff else 1.0
+    eff_bw_norm = min(1.0, eff / machine_scaling) if machine_scaling > 0 else eff
     return {
         "metric": "cdc_replay_scaling",
         "cpus_lo": n_lo,
@@ -345,6 +362,8 @@ def run_scaling() -> dict:
         "all_sec_hi": [r["value"] for r in hi_runs],
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_paired_median": round(eff_paired_median, 3),
+        "machine_memcpy_scaling": round(machine_scaling, 3),
+        "scaling_efficiency_bandwidth_normalized": round(eff_bw_norm, 3),
         "per_round_efficiency": [round(v, 3) for v in paired],
         "n_events": N_EVENTS,
         "host_probe_before": probe_before,

@@ -295,6 +295,73 @@ def _join_verify(sf_dir: str, uniq, n_parts: int | None = None):
     return tagged.groupby("part").map_groups(score_group, batch_format="pandas")
 
 
+def q_near_dup_incremental(sf_dir: str):
+    """Cross-run INCREMENTAL near-dup (stages/lsh_index.py): index the
+    first half of the corpus (doc_id < n/2 — "yesterday's corpus"), probe
+    the second half against it reading ONLY the touched posting/signature
+    partitions, then exact-verify the candidate pairs at word-3gram
+    Jaccard ≥ 0.8. With 32×4 bands the candidate miss probability at
+    j≥0.8 is <5e-8, so the output equals the cross-half all-pairs SQL
+    oracle w.h.p. Texts for verification ship once by ObjectRef (the
+    corpus is small at test SF; at scale the fetch is bounded by the PAIR
+    set). The historical half is never re-read after indexing."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+    import ray
+
+    from ..stages.lsh_index import lsh_candidate_pairs, update_lsh_index
+
+    split = _docs_row_count(sf_dir) // 2
+    docs = _docs(sf_dir)
+    hist = docs.map_batches(
+        lambda t: t.filter(_pc.less(t["doc_id"], split)),
+        batch_format="pyarrow",
+    )
+    new = docs.map_batches(
+        lambda t: t.filter(_pc.greater_equal(t["doc_id"], split)),
+        batch_format="pyarrow",
+    )
+    idx = tempfile.mkdtemp(prefix="lsh_idx_", dir="/tmp")
+    update_lsh_index(idx, hist)
+    uniq = lsh_candidate_pairs(idx, new)
+
+    @ray.remote
+    def _load_texts(p: str) -> dict:
+        t = _pq.read_table(p, columns=["doc_id", "text"])
+        return dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+    ref = _load_texts.remote(os.path.join(sf_dir, "documents.parquet"))
+
+    class Verifier:
+        def __init__(self):
+            self.texts = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame(
+                    {"id_a": pd.Series([], dtype="int64"),
+                     "id_b": pd.Series([], dtype="int64"),
+                     "jaccard": pd.Series([], dtype="float64")}
+                )
+            jac = [
+                exact_jaccard(self.texts.get(a, ""), self.texts.get(b, ""))
+                for a, b in zip(df["id_a"], df["id_b"])
+            ]
+            df = df.assign(jaccard=np.round(jac, 6))
+            return df[df["jaccard"] >= JACCARD_THRESHOLD][
+                ["id_a", "id_b", "jaccard"]
+            ]
+
+    out = uniq.map_batches(
+        Verifier, batch_format="pandas", concurrency=(1, 4)
+    ).materialize()  # bounded by the pair count; lets the index dir go
+    shutil.rmtree(idx, ignore_errors=True)
+    return out
+
+
 def q_simhash_pairs(sf_dir: str):
     """Rows-only: SimHash near-dup pairs at Hamming distance ≤ 3 via 16-bit
     block LSH (pigeonhole-complete for d≤3 with 4 blocks). Pair emission per
@@ -1023,6 +1090,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "fingerprint_rolling": q_fingerprint_rolling,
     "near_dup_jaccard": q_near_dup_jaccard,
+    "near_dup_incremental": q_near_dup_incremental,
     "simhash_pairs": q_simhash_pairs,
     "dedup_survivors_minhash": q_dedup_survivors_minhash,
     "near_dup_clusters": q_near_dup_clusters,
@@ -1107,6 +1175,18 @@ FROM common
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.8
+"""
+
+_INCR_JACCARD_SQL = f"""
+WITH {_PAIRS_CTE}
+SELECT id_a, id_b,
+       round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.8
+  AND id_a < (SELECT COUNT(*) // 2 FROM documents)
+  AND id_b >= (SELECT COUNT(*) // 2 FROM documents)
 """
 
 _SURVIVORS_SQL = f"""
@@ -1257,6 +1337,7 @@ ORACLE_SQL = {
         "(SELECT fp FROM seen)"
     ),
     "near_dup_jaccard": _JACCARD_SQL,
+    "near_dup_incremental": _INCR_JACCARD_SQL,  # pytest-checked (tail entry)
     "dedup_survivors_minhash": _SURVIVORS_SQL,
     "near_dup_clusters": _CLUSTERS_SQL,
     "training_data_prep": _TRAINING_PREP_SQL,  # pytest-checked (tail entry)

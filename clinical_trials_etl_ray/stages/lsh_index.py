@@ -1,0 +1,356 @@
+"""Cross-run incremental NEAR-duplicate index: persisted MinHash-LSH
+postings + signatures — the approximate sibling of the exact seen-index
+(stages/seen_index.py).
+
+At 100 TB you cannot re-shingle the historical corpus to near-dup each
+day's increment against it. This index persists, per document ever
+indexed, its LSH band postings (bands × 16 bytes) and its MinHash
+signature (n_perms × 8 bytes ≈ 1 KB/doc — 2-3 orders of magnitude smaller
+than the corpus), both PRE-PARTITIONED and published through the same
+exactly-once ``Manifest`` protocol as the lake:
+
+  - postings ``(band_id, band_hash, doc_id)`` live in the bucket
+    ``band_hash % num_buckets`` — probing an increment reads ONLY the
+    posting partitions its band hashes land in;
+  - signatures ``(doc_id, minhash_sig)`` live in the bucket
+    ``mix(doc_id) % num_buckets`` — verifying candidates reads ONLY the
+    signature partitions of the candidate old docs.
+
+One increment flows: MinHash once (materialized — it is the SMALL side),
+band-explode → ONE increment-sized groupby lands each band row in its
+posting partition; probe joins the increment's band rows against those
+partitions' committed postings; candidate pairs are scored by SIGNATURE
+AGREEMENT (the fraction of equal MinHash components is an unbiased
+estimator of Jaccard) against the candidate-bounded signature partitions.
+The historical corpus text is never read; exchanges are increment- and
+candidate-sized. Partitioning assumption (same knob as the seen-index and
+the lake): one bucket's partition slice fits a worker heap —
+``num_buckets`` scales it.
+
+Exactly-once / idempotency: files are content-hash-named (a retried or
+re-run update writes byte-identical files to the same paths) and commits
+go through the optimistic manifest. Re-indexing the same docs is a
+no-op at the file level; at the query level duplicate postings would only
+re-propose the same candidate pairs, which dedupe.
+
+Reference analog: the reference has no near-dup notion at all; its only
+cross-run memory is the Mongo unique index on nct_id
+(trials_extractor/storage/mongodb_storage.py:94-134). This is the
+training-data-scale generalization: "have I seen something LIKE this
+before", incremental.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..state.manifest import Manifest, bucket_dir
+from .dedup_text import BandExploder, MinHasher
+from .merge import _write_immutable
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+@dataclass
+class LshIndexReport:
+    buckets_touched: int = 0
+    docs_indexed: int = 0
+    postings_added: int = 0
+    version: int = 0
+
+
+def _doc_sig_bucket(doc_ids: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Deterministic signature-partition routing for int64 doc ids."""
+    return (
+        (doc_ids.astype(np.uint64) * _MIX) % np.uint64(num_buckets)
+    ).astype(np.int64)
+
+
+def _params(man: Manifest) -> tuple:
+    m = man.metrics
+    return int(m.get("lsh_bands", 32)), int(m.get("lsh_rows", 4))
+
+
+def _table_info(
+    index_dir: str, bucket: int, kind: str, table: pa.Table
+) -> dict:
+    h = hashlib.sha256(table.to_pandas().to_csv(index=False).encode()).hexdigest()[:16]
+    path = _write_immutable(
+        table, bucket_dir(index_dir, bucket), f"{kind}-{h}.parquet"
+    )
+    return {
+        "bucket": int(bucket),
+        "path": os.path.relpath(path, index_dir),
+        "kind": kind,
+        "content_hash": h,
+        "row_count": table.num_rows,
+        "min_lsn": -1,
+        "max_lsn": -1,
+    }
+
+
+def update_lsh_index(
+    index_dir: str,
+    ds,
+    num_buckets: int = 32,
+    bands: int = 32,
+    rows: int = 4,
+) -> LshIndexReport:
+    """Fold a document increment (columns doc_id:int64, text) into the
+    index (create it if absent). One MinHash pass over the increment, two
+    increment-sized exchanges (postings by band hash, signatures by doc
+    hash), one atomic commit."""
+    man = Manifest.load_or_create(index_dir, num_buckets)
+    if man.metrics.get("lsh_bands") is not None and _params(man) != (bands, rows):
+        raise ValueError(
+            f"index at {index_dir!r} was built with bands/rows "
+            f"{_params(man)}, refusing {bands, rows} — band hashing is "
+            "fixed at index creation"
+        )
+
+    sigs = ds.map_batches(
+        MinHasher, batch_format="pandas", concurrency=(1, 8), batch_size=1024
+    ).materialize()  # increment-sized; feeds both exchanges
+    n_docs = sigs.count()
+
+    band_rows = sigs.map_batches(
+        BandExploder,
+        batch_format="pandas",
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"bands": bands, "rows": rows,
+                               "n_parts": num_buckets},
+    )
+
+    def write_postings(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["part"].iat[0])
+        t = (
+            g[["band_id", "band_hash", "doc_id"]]
+            .sort_values(["band_id", "band_hash", "doc_id"], kind="mergesort")
+            .reset_index(drop=True)
+        )  # deterministic content → idempotent content-hash name
+        info = _table_info(
+            index_dir, part, "lshp", pa.Table.from_pandas(t, preserve_index=False)
+        )
+        return pd.DataFrame({"info": pd.Series([info], dtype=object)})
+
+    post_infos = [
+        r["info"]
+        for r in band_rows.groupby("part")
+        .map_groups(write_postings, batch_format="pandas")
+        .take_all()  # tiny: one fileinfo per touched posting partition
+    ]
+
+    def stamp_sig_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            sig_bucket=_doc_sig_bucket(
+                df["doc_id"].to_numpy(np.int64), num_buckets
+            )
+        )
+
+    def write_sigs(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(g["sig_bucket"].iat[0])
+        t = (
+            g[["doc_id", "minhash_sig"]]
+            .sort_values("doc_id", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(t["doc_id"].to_numpy(np.int64)),
+                "minhash_sig": pa.array(
+                    [np.asarray(s, dtype=np.int64) for s in t["minhash_sig"]],
+                    pa.list_(pa.int64()),
+                ),
+            }
+        )
+        info = _table_info(index_dir, bucket, "lsig", tbl)
+        return pd.DataFrame({"info": pd.Series([info], dtype=object)})
+
+    sig_infos = [
+        r["info"]
+        for r in sigs.map_batches(stamp_sig_bucket, batch_format="pandas")
+        .groupby("sig_bucket")
+        .map_groups(write_sigs, batch_format="pandas")
+        .take_all()
+    ]
+
+    infos = post_infos + sig_infos
+    report = LshIndexReport(version=man.version)
+    if infos:
+        man = man.commit(
+            infos,
+            new_watermark_lsn=man.global_watermark(),
+            metrics={
+                "lsh_index": True,
+                "lsh_bands": bands,
+                "lsh_rows": rows,
+                "docs_indexed": int(n_docs),
+            },
+        )
+        report = LshIndexReport(
+            buckets_touched=len({i["bucket"] for i in infos}),
+            docs_indexed=int(n_docs),
+            postings_added=int(sum(i["row_count"] for i in post_infos)),
+            version=man.version,
+        )
+    return report
+
+
+def lsh_candidate_pairs(index_dir: str, ds=None, sigs=None):
+    """Candidate (id_old ∈ index, id_new ∈ increment) near-dup pairs: the
+    increment's band rows joined against ONLY the posting partitions they
+    touch. Pass either raw docs ``ds`` (doc_id, text) or precomputed
+    ``sigs`` (doc_id, minhash_sig — avoids re-MinHashing when the caller
+    already has them). Returns a deduped Dataset of (id_a=old, id_b=new).
+    Recall follows the band parameters (32×4 default: miss probability
+    < 5e-8 at Jaccard ≥ 0.8 — same guarantee as the batch path)."""
+    from .dedup_text import dedupe_pairs
+
+    man = Manifest.load(index_dir)
+    bands, rows = _params(man)
+    files_by_bucket = {
+        b: [f for f in man.files_for_bucket(b) if f["kind"] == "lshp"]
+        for b in range(man.num_buckets)
+    }
+
+    if sigs is None:
+        sigs = ds.map_batches(
+            MinHasher, batch_format="pandas", concurrency=(1, 8),
+            batch_size=1024,
+        )
+    band_rows = sigs.map_batches(
+        BandExploder,
+        batch_format="pandas",
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"bands": bands, "rows": rows,
+                               "n_parts": man.num_buckets},
+    )
+
+    def probe(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"),
+             "id_b": pd.Series([], dtype="int64")}
+        )
+        if g.empty:
+            return empty
+        part = int(g["part"].iat[0])
+        files = files_by_bucket.get(part, [])
+        if not files:
+            return empty
+        idx = pd.concat(
+            [
+                pq.read_table(os.path.join(index_dir, f["path"])).to_pandas()
+                for f in files
+            ],
+            ignore_index=True,
+        )
+        m = g[["band_id", "band_hash", "doc_id"]].merge(
+            idx, on=["band_id", "band_hash"], suffixes=("_new", "_old")
+        )
+        m = m[m["doc_id_old"] != m["doc_id_new"]]
+        if m.empty:
+            return empty
+        return (
+            m.rename(columns={"doc_id_old": "id_a", "doc_id_new": "id_b"})[
+                ["id_a", "id_b"]
+            ]
+            .drop_duplicates()
+            .reset_index(drop=True)
+        )
+
+    cands = band_rows.groupby("part").map_groups(probe, batch_format="pandas")
+    return dedupe_pairs(cands)
+
+
+def probe_lsh_index(index_dir: str, ds, est_threshold: float = 0.7):
+    """Near-dup pairs of ``ds`` against the INDEXED history, scored by
+    signature agreement: est_jaccard = fraction of equal MinHash
+    components (unbiased Jaccard estimator; stderr ≈ sqrt(j(1-j)/128) ≈
+    0.035 at j=0.8). No text is read anywhere — candidate old signatures
+    come from the candidate-bounded signature partitions, new signatures
+    ride the in-flight increment. Returns (id_a=old, id_b=new,
+    est_jaccard ≥ est_threshold)."""
+    import ray
+
+    man = Manifest.load(index_dir)
+    sig_files_by_bucket = {
+        b: [f for f in man.files_for_bucket(b) if f["kind"] == "lsig"]
+        for b in range(man.num_buckets)
+    }
+
+    # new signatures: increment-sized broadcast (built inside a Ray task,
+    # driver holds only the ref)
+    new_sigs = ds.map_batches(
+        MinHasher, batch_format="pandas", concurrency=(1, 8), batch_size=1024
+    ).materialize()
+
+    @ray.remote
+    def _sig_map(*blocks):
+        out = {}
+        for t in blocks:
+            df = t.to_pandas() if not isinstance(t, pd.DataFrame) else t
+            for d, s in zip(df["doc_id"], df["minhash_sig"]):
+                out[int(d)] = np.asarray(s, dtype=np.int64)
+        return out
+
+    new_ref = _sig_map.remote(*new_sigs.to_arrow_refs())
+
+    uniq = lsh_candidate_pairs(index_dir, sigs=new_sigs)
+
+    def stamp_old_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.assign(sig_bucket=pd.Series([], dtype="int64"))
+        return df.assign(
+            sig_bucket=_doc_sig_bucket(
+                df["id_a"].to_numpy(np.int64), man.num_buckets
+            )
+        )
+
+    def estimate(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"),
+             "id_b": pd.Series([], dtype="int64"),
+             "est_jaccard": pd.Series([], dtype="float64")}
+        )
+        if g.empty:
+            return empty
+        bucket = int(g["sig_bucket"].iat[0])
+        files = sig_files_by_bucket.get(bucket, [])
+        if not files:
+            return empty
+        # the broadcast ref resolves from the worker's local object store
+        new_map = ray.get(new_ref)
+        olds: dict = {}
+        want = set(g["id_a"].astype(int))
+        for f in files:
+            t = pq.read_table(os.path.join(index_dir, f["path"]))
+            for d, s in zip(
+                t["doc_id"].to_pylist(), t["minhash_sig"].to_pylist()
+            ):
+                if d in want:
+                    olds[d] = np.asarray(s, dtype=np.int64)
+        est = []
+        for a, b in zip(g["id_a"], g["id_b"]):
+            sa = olds.get(int(a))
+            sb = new_map.get(int(b))
+            est.append(
+                float(np.mean(sa == sb))
+                if sa is not None and sb is not None
+                else 0.0
+            )
+        out = g.assign(est_jaccard=np.round(est, 6))[
+            ["id_a", "id_b", "est_jaccard"]
+        ]
+        return out[out["est_jaccard"] >= est_threshold].reset_index(drop=True)
+
+    tagged = uniq.map_batches(stamp_old_bucket, batch_format="pandas")
+    return tagged.groupby("sig_bucket").map_groups(
+        estimate, batch_format="pandas"
+    )

@@ -1,0 +1,108 @@
+"""Cross-run incremental NEAR-dup index (stages/lsh_index.py): persisted
+MinHash-LSH postings + signatures, probed by each increment in
+O(increment) — the approximate sibling of the exact seen-index.
+
+Pinned here: planted cross-run near-dups are found with high signature
+agreement (identical doc → est 1.0) and unrelated docs stay absent;
+building in N increments ≡ one shot; re-running an update is a file-level
+no-op (content-hash idempotency); bands/rows are fixed at creation; and
+the driver-style oracle pin for the registered `near_dup_incremental`
+query (word-3gram Jaccard ≥ 0.8 across corpus halves).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from util_compare import assert_matches_oracle
+
+SF = "/root/testdata/sf0.001"
+
+_WORDS = [f"w{i}" for i in range(400)]
+
+
+def _doc(rng: np.random.Generator, n: int = 60) -> str:
+    return " ".join(rng.choice(_WORDS, size=n))
+
+
+def _planted_corpus():
+    """20 docs: ids 0-9 historical, 10-19 new; 12≈3 (one word changed),
+    15==5 (identical), everything else pairwise-distinct."""
+    rng = np.random.default_rng(11)
+    texts = [_doc(rng) for _ in range(20)]
+    near = texts[3].split()
+    near[10] = "CHANGED"
+    texts[12] = " ".join(near)
+    texts[15] = texts[5]
+    return pd.DataFrame(
+        {"doc_id": np.arange(20, dtype=np.int64), "text": texts}
+    )
+
+
+def _ds(df: pd.DataFrame):
+    import ray.data
+
+    return ray.data.from_pandas(df)
+
+
+def test_incremental_probe_finds_planted_cross_run_dups(ray_session, tmp_path):
+    from clinical_trials_etl_ray.stages.lsh_index import (
+        probe_lsh_index,
+        update_lsh_index,
+    )
+
+    corpus = _planted_corpus()
+    idx = str(tmp_path / "idx")
+    rep = update_lsh_index(idx, _ds(corpus[corpus.doc_id < 10]), num_buckets=8)
+    assert rep.docs_indexed == 10 and rep.postings_added == 10 * 32
+
+    got = probe_lsh_index(
+        idx, _ds(corpus[corpus.doc_id >= 10]), est_threshold=0.5
+    ).to_pandas()
+    pairs = {(int(a), int(b)): e for a, b, e in got.itertuples(index=False)}
+    assert (5, 15) in pairs and pairs[(5, 15)] == 1.0  # identical copy
+    assert (3, 12) in pairs and pairs[(3, 12)] > 0.7   # one-word change
+    # nothing else is similar — no spurious survivors
+    assert set(pairs) == {(5, 15), (3, 12)}
+
+
+def test_multi_increment_equals_one_shot_and_idempotent(ray_session, tmp_path):
+    from clinical_trials_etl_ray.state.manifest import Manifest
+    from clinical_trials_etl_ray.stages.lsh_index import (
+        lsh_candidate_pairs,
+        update_lsh_index,
+    )
+
+    corpus = _planted_corpus()
+    one, two = str(tmp_path / "one"), str(tmp_path / "two")
+    update_lsh_index(one, _ds(corpus[corpus.doc_id < 10]), num_buckets=8)
+    update_lsh_index(two, _ds(corpus[corpus.doc_id < 5]), num_buckets=8)
+    update_lsh_index(two, _ds(corpus[(corpus.doc_id >= 5) & (corpus.doc_id < 10)]), num_buckets=8)
+
+    def probe_pairs(idx):
+        df = lsh_candidate_pairs(idx, _ds(corpus[corpus.doc_id >= 10])).to_pandas()
+        return sorted(map(tuple, df[["id_a", "id_b"]].to_numpy()))
+
+    assert probe_pairs(one) == probe_pairs(two)  # increments compose
+
+    # re-running an identical update: content-hash file reuse → the
+    # committed file SET is unchanged (no duplicate lineage)
+    before = Manifest.load(one).all_files()
+    update_lsh_index(one, _ds(corpus[corpus.doc_id < 10]), num_buckets=8)
+    assert Manifest.load(one).all_files() == before
+
+    # band parameters are fixed at creation
+    with pytest.raises(ValueError, match="bands/rows"):
+        update_lsh_index(one, _ds(corpus[corpus.doc_id >= 10]),
+                         num_buckets=8, bands=16, rows=8)
+
+
+def test_near_dup_incremental_matches_oracle(ray_session):
+    """Tail oracle pin (driver window full): `near_dup_incremental` —
+    index first half of documents, probe second half, exact-verify — must
+    equal the cross-half all-pairs word-3gram Jaccard ≥ 0.8 SQL."""
+    import __ray_entry__ as entrymod
+
+    q = entrymod.queries()["near_dup_incremental"]
+    sql = entrymod.oracle_sql()["near_dup_incremental"]
+    assert_matches_oracle(q(SF), sql, SF)
