@@ -332,6 +332,24 @@ def main(argv=None) -> int:
     tp.add_argument("--k", type=int, default=10,
                     help="(rank) top-k conversations by BM25 score")
 
+    lnp = sub.add_parser(
+        "lshidx",
+        help="cross-run incremental NEAR-dup: maintain a persisted "
+             "MinHash-LSH posting/signature index and probe new data "
+             "against it by signature agreement — only the increment and "
+             "the touched partitions are read, never the history",
+    )
+    lnp.add_argument("action", choices=["update", "probe"])
+    lnp.add_argument("index_dir")
+    lnp.add_argument("input", help="parquet file/dir of (doc_id, text)")
+    lnp.add_argument("--buckets", type=int, default=32)
+    lnp.add_argument("--est-threshold", type=float, default=0.7,
+                     help="(probe) keep pairs with signature-agreement "
+                          "Jaccard estimate at or above this")
+    lnp.add_argument("--out-dir", default=None,
+                     help="(probe) write pairs here as parquet instead of "
+                          "printing a preview")
+
     snp = sub.add_parser(
         "seen",
         help="cross-run incremental dedup: maintain a persisted "
@@ -696,6 +714,32 @@ def main(argv=None) -> int:
                 print(json.dumps(
                     {"conv_ids": t["conv_id"].to_pylist(), "mode": args.mode}
                 ))
+        elif args.cmd == "lshidx":
+            import ray.data
+
+            from .stages.lsh_index import probe_lsh_index, update_lsh_index
+
+            ds = ray.data.read_parquet(args.input)
+            if args.action == "update":
+                r = update_lsh_index(
+                    args.index_dir, ds, num_buckets=args.buckets
+                )
+                print(json.dumps(r.__dict__))
+            else:
+                pairs = probe_lsh_index(
+                    args.index_dir, ds, est_threshold=args.est_threshold
+                )
+                if args.out_dir:
+                    from .sources.writers import write_parquet
+
+                    write_parquet(pairs, args.out_dir)
+                    print(json.dumps({"out": args.out_dir}))
+                else:
+                    df = pairs.to_pandas()
+                    print(json.dumps({
+                        "pairs": int(len(df)),
+                        "preview": df.head(20).to_dict("records"),
+                    }))
         elif args.cmd == "seen":
             import ray.data
 

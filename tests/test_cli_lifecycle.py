@@ -30,7 +30,7 @@ def test_every_subcommand_parses():
     for cmd in ("synth", "replay", "compact", "read", "render", "sql",
                 "diff", "delete", "purge", "upsert", "snapshot",
                 "bootstrap", "changes", "sync", "matview", "tindex", "seen", "stats",
-                "oracle", "verify", "rebucket"):
+                "oracle", "verify", "rebucket", "lshidx"):
         with pytest.raises(SystemExit) as ei:
             cli_mod.main([cmd, "--help"])
         assert ei.value.code == 0, cmd

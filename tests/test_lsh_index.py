@@ -106,3 +106,42 @@ def test_near_dup_incremental_matches_oracle(ray_session):
     q = entrymod.queries()["near_dup_incremental"]
     sql = entrymod.oracle_sql()["near_dup_incremental"]
     assert_matches_oracle(q(SF), sql, SF)
+
+
+def test_cli_lshidx_update_and_probe(tmp_path):
+    """Operational surface: `lshidx update` on the historical half, then
+    `lshidx probe` on the new half finds the planted copies (subprocess —
+    the CLI owns its own Ray session)."""
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    corpus = _planted_corpus()
+    hist_p = str(tmp_path / "hist.parquet")
+    new_p = str(tmp_path / "new.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(corpus[corpus.doc_id < 10], preserve_index=False),
+        hist_p,
+    )
+    pq.write_table(
+        pa.Table.from_pandas(corpus[corpus.doc_id >= 10], preserve_index=False),
+        new_p,
+    )
+    idx = str(tmp_path / "idx")
+
+    def _cli(*args):
+        out = subprocess.run(
+            [sys.executable, "-m", "clinical_trials_etl_ray.cli", *args],
+            capture_output=True, text=True, cwd="/root/repo", check=True,
+            timeout=240,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    r = _cli("lshidx", "update", idx, hist_p, "--buckets", "8")
+    assert r["docs_indexed"] == 10
+    pr = _cli("lshidx", "probe", idx, new_p, "--est-threshold", "0.5")
+    got = {(p["id_a"], p["id_b"]) for p in pr["preview"]}
+    assert got == {(5, 15), (3, 12)} and pr["pairs"] == 2
