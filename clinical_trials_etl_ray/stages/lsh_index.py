@@ -328,14 +328,16 @@ def probe_lsh_index(index_dir: str, ds, est_threshold: float = 0.7):
         # the broadcast ref resolves from the worker's local object store
         new_map = ray.get(new_ref)
         olds: dict = {}
-        want = set(g["id_a"].astype(int))
+        want = sorted(set(g["id_a"].astype(int)))
+        import pyarrow.dataset as pads
+
+        flt = pads.field("doc_id").isin(want)  # candidate-bounded pushdown
         for f in files:
-            t = pq.read_table(os.path.join(index_dir, f["path"]))
+            t = pq.read_table(os.path.join(index_dir, f["path"]), filters=flt)
             for d, s in zip(
                 t["doc_id"].to_pylist(), t["minhash_sig"].to_pylist()
             ):
-                if d in want:
-                    olds[d] = np.asarray(s, dtype=np.int64)
+                olds[d] = np.asarray(s, dtype=np.int64)
         est = []
         for a, b in zip(g["id_a"], g["id_b"]):
             sa = olds.get(int(a))
@@ -354,3 +356,85 @@ def probe_lsh_index(index_dir: str, ds, est_threshold: float = 0.7):
     return tagged.groupby("sig_bucket").map_groups(
         estimate, batch_format="pandas"
     )
+
+
+def compact_lsh_index(index_dir: str, min_files: int = 2) -> int:
+    """Fold each partition's accumulated increment files into one
+    (postings and signatures separately, per bucket) — the steady-state
+    maintenance pass: every ``update_lsh_index`` writes one file per
+    touched partition, so probe fan-in grows with increment count until
+    folded. Sound because both stores are append-only row sets — folding
+    is concat + dedupe (identical rows may exist if an increment was
+    re-delivered) + sort, committed with ``consumed_paths`` so a fold
+    racing a concurrent update rebases cleanly and keeps the newer files.
+    Returns the number of (bucket, kind) partitions folded."""
+    import ray
+
+    man = Manifest.load(index_dir)
+
+    @ray.remote
+    def _fold(bucket: int, kind: str, files: list):
+        frames = [
+            pq.read_table(os.path.join(index_dir, f["path"])).to_pandas()
+            for f in files
+        ]
+        df = pd.concat(frames, ignore_index=True)
+        if kind == "lshp":
+            df = (
+                df.drop_duplicates()
+                .sort_values(
+                    ["band_id", "band_hash", "doc_id"], kind="mergesort"
+                )
+                .reset_index(drop=True)
+            )
+            tbl = pa.Table.from_pandas(df, preserve_index=False)
+        else:
+            df = (
+                df.drop_duplicates("doc_id")
+                .sort_values("doc_id", kind="mergesort")
+                .reset_index(drop=True)
+            )
+            tbl = pa.table(
+                {
+                    "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+                    "minhash_sig": pa.array(
+                        [np.asarray(s, dtype=np.int64) for s in df["minhash_sig"]],
+                        pa.list_(pa.int64()),
+                    ),
+                }
+            )
+        return bucket, kind, _table_info(index_dir, bucket, kind, tbl)
+
+    refs, kept, consumed = [], {}, set()
+    for b in range(man.num_buckets):
+        files = man.files_for_bucket(b)
+        by_kind: dict = {}
+        for f in files:
+            by_kind.setdefault(f["kind"], []).append(f)
+        kept[b] = []
+        for kind, fl in by_kind.items():
+            if len(fl) >= min_files:
+                refs.append(_fold.remote(b, kind, fl))
+                consumed.update(f["path"] for f in fl)
+            else:
+                kept[b].extend(fl)
+    if not refs:
+        return 0
+    folded: dict = {}
+    for bucket, _kind, info in ray.get(refs):
+        folded.setdefault(bucket, []).append(
+            {k: v for k, v in info.items() if k != "bucket"}
+        )
+    replace = {
+        b: kept[b] + folded.get(b, []) for b in set(kept) | set(folded)
+        if kept[b] or folded.get(b)
+    }
+    man2 = man.commit(
+        [],
+        new_watermark_lsn=man.global_watermark(),
+        replace_buckets=replace,
+        consumed_paths=consumed,
+        metrics={**man.metrics, "lsh_compaction": True},
+    )
+    man2.cleanup_orphans()
+    return len(refs)

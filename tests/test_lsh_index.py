@@ -145,3 +145,44 @@ def test_cli_lshidx_update_and_probe(tmp_path):
     pr = _cli("lshidx", "probe", idx, new_p, "--est-threshold", "0.5")
     got = {(p["id_a"], p["id_b"]) for p in pr["preview"]}
     assert got == {(5, 15), (3, 12)} and pr["pairs"] == 2
+
+
+def test_lsh_index_compaction_preserves_probes(ray_session, tmp_path):
+    """Folding accumulated increment files (compact_lsh_index) changes
+    nothing a probe can observe, cuts file fan-in, and a second pass is a
+    no-op."""
+    from clinical_trials_etl_ray.state.manifest import Manifest
+    from clinical_trials_etl_ray.stages.lsh_index import (
+        compact_lsh_index,
+        probe_lsh_index,
+        update_lsh_index,
+    )
+
+    corpus = _planted_corpus()
+    idx = str(tmp_path / "idx")
+    update_lsh_index(idx, _ds(corpus[corpus.doc_id < 5]), num_buckets=4)
+    update_lsh_index(
+        idx, _ds(corpus[(corpus.doc_id >= 5) & (corpus.doc_id < 10)]),
+        num_buckets=4,
+    )
+
+    def probe():
+        df = probe_lsh_index(
+            idx, _ds(corpus[corpus.doc_id >= 10]), est_threshold=0.5
+        ).to_pandas()
+        return sorted(map(tuple, df[["id_a", "id_b"]].to_numpy()))
+
+    want = probe()
+    assert want  # planted dups present before the fold
+
+    man = Manifest.load(idx)
+    files_before = len(man.all_files())
+    folded = compact_lsh_index(idx)
+    assert folded > 0
+    man2 = Manifest.load(idx)
+    assert len(man2.all_files()) < files_before
+    for b in range(man2.num_buckets):  # ≤ one file per (bucket, kind)
+        kinds = [f["kind"] for f in man2.files_for_bucket(b)]
+        assert len(kinds) == len(set(kinds))
+    assert probe() == want
+    assert compact_lsh_index(idx) == 0  # already folded
