@@ -438,3 +438,42 @@ def compact_lsh_index(index_dir: str, min_files: int = 2) -> int:
     )
     man2.cleanup_orphans()
     return len(refs)
+
+
+def filter_near_novel(index_dir: str, ds, est_threshold: float = 0.7):
+    """Rows of ``ds`` whose text does NOT near-duplicate anything already
+    indexed — the dedup application of the index (the approximate sibling
+    of ``seen_index.filter_unseen``): survivors can be ingested/trained
+    on, dropped rows are cross-run near-dups. Near-dups WITHIN ``ds``
+    all survive (compose with the batch near-dup operator for that).
+
+    The dropped-id set is bounded by the duplicate count: it is collected
+    into one Ray task (driver holds only the ref) and each batch filters
+    with a vectorized ``np.isin`` — zero corpus exchange, the same
+    size-gated broadcast shape as ``dedup_survivors_minhash``."""
+    import ray
+
+    pairs = probe_lsh_index(
+        index_dir, ds, est_threshold=est_threshold
+    ).materialize()  # bounded by the near-dup count
+
+    @ray.remote
+    def _dropped_ids(*blocks):
+        ids = [
+            np.asarray(b["id_b"] if isinstance(b, pd.DataFrame) else b["id_b"].to_pandas(),
+                       dtype=np.int64)
+            for b in blocks
+        ]
+        return np.unique(np.concatenate(ids)) if ids else np.empty(0, np.int64)
+
+    ids_ref = _dropped_ids.remote(*pairs.to_arrow_refs())
+
+    class DropDups:
+        def __init__(self):
+            self.ids = ray.get(ids_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(~np.isin(d, self.ids)))
+
+    return ds.map_batches(DropDups, batch_format="pyarrow", concurrency=(1, 4))

@@ -186,3 +186,20 @@ def test_lsh_index_compaction_preserves_probes(ray_session, tmp_path):
         assert len(kinds) == len(set(kinds))
     assert probe() == want
     assert compact_lsh_index(idx) == 0  # already folded
+
+
+def test_filter_near_novel_drops_cross_run_dups(ray_session, tmp_path):
+    """The dedup application: new docs that near-duplicate the indexed
+    history are dropped, everything else survives."""
+    from clinical_trials_etl_ray.stages.lsh_index import (
+        filter_near_novel,
+        update_lsh_index,
+    )
+
+    corpus = _planted_corpus()
+    idx = str(tmp_path / "idx")
+    update_lsh_index(idx, _ds(corpus[corpus.doc_id < 10]), num_buckets=8)
+    survivors = filter_near_novel(
+        idx, _ds(corpus[corpus.doc_id >= 10]), est_threshold=0.5
+    ).to_pandas()
+    assert sorted(survivors["doc_id"]) == [10, 11, 13, 14, 16, 17, 18, 19]
