@@ -645,9 +645,13 @@ def follow(
             if expire_keep_last is not None and r.chunks_applied:
                 # last: every consumer above has read its state for this
                 # round, so expiring pre-window versions cannot pull files
-                # out from under them
+                # out from under them; age-gate the data sweep because a
+                # SECOND producer may be staging deltas mid-commit
+                from ..state.manifest import ORPHAN_DATA_MIN_AGE_SEC
+
                 Manifest.load(lake_dir).expire_versions(
-                    keep_last=expire_keep_last
+                    keep_last=expire_keep_last,
+                    min_data_age_sec=ORPHAN_DATA_MIN_AGE_SEC,
                 )
         rounds += 1
         if idle < idle_rounds and (max_rounds is None or rounds < max_rounds):
@@ -899,5 +903,10 @@ def compact(
         # (current − consumed) + outputs merge in Manifest.commit
         consumed_paths=consumed,
     )
-    man2.cleanup_orphans()
+    # age-gated: a concurrent replay's staged-but-uncommitted deltas are
+    # referenced by no snapshot yet — collecting them would let that
+    # replay's rebased commit publish references to deleted files
+    from ..state.manifest import ORPHAN_DATA_MIN_AGE_SEC
+
+    man2.cleanup_orphans(min_data_age_sec=ORPHAN_DATA_MIN_AGE_SEC)
     return len(replace)

@@ -78,10 +78,24 @@ def _params(man: Manifest) -> tuple:
     return int(m.get("lsh_bands", 32)), int(m.get("lsh_rows", 4))
 
 
+def _ipc_hash(table: pa.Table) -> str:
+    """Content hash of a table via its Arrow IPC stream bytes — the same
+    scheme as merge._compact_bucket_streaming. Deterministic for equal
+    content (``combine_chunks`` canonicalizes the batch layout first) and
+    zero-copy-ish: no pandas conversion, no text rendering. The previous
+    ``to_pandas().to_csv()`` rendering was fragile for list columns (numpy
+    repr truncates beyond the print threshold → collision-prone names)."""
+    t = table.combine_chunks()
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, t.schema) as w:
+        w.write_table(t)
+    return hashlib.sha256(sink.getvalue().to_pybytes()).hexdigest()[:16]
+
+
 def _table_info(
     index_dir: str, bucket: int, kind: str, table: pa.Table
 ) -> dict:
-    h = hashlib.sha256(table.to_pandas().to_csv(index=False).encode()).hexdigest()[:16]
+    h = _ipc_hash(table)
     path = _write_immutable(
         table, bucket_dir(index_dir, bucket), f"{kind}-{h}.parquet"
     )
@@ -436,7 +450,12 @@ def compact_lsh_index(index_dir: str, min_files: int = 2) -> int:
         consumed_paths=consumed,
         metrics={**man.metrics, "lsh_compaction": True},
     )
-    man2.cleanup_orphans()
+    # age-gated for the same reason as pipelines.replay.compact: a
+    # concurrent update_lsh_index's staged partition files must survive
+    # until their commit lands (it will rebase onto this fold)
+    from ..state.manifest import ORPHAN_DATA_MIN_AGE_SEC
+
+    man2.cleanup_orphans(min_data_age_sec=ORPHAN_DATA_MIN_AGE_SEC)
     return len(refs)
 
 

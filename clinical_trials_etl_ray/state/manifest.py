@@ -29,6 +29,16 @@ DATA_DIR = "data"
 # younger temps may be a live concurrent writer's in-flight publish.
 ORPHAN_TMP_MIN_AGE_SEC = 300.0
 
+# Data-file orphan age gate for AUTOMATED maintenance passes that may race a
+# concurrent ingest (compact / compact_lsh_index under follow()): a delta a
+# concurrent replay's workers just staged is referenced by NO snapshot until
+# its chunk commits, yet deleting it lets that commit rebase and SUCCEED
+# publishing references to deleted files (round-5 ADVICE). Those callers pass
+# this as ``min_data_age_sec``; explicit maintenance verbs (tests,
+# ``expire_versions`` default) keep 0 — immediate collection — because their
+# contract excludes concurrent writers.
+ORPHAN_DATA_MIN_AGE_SEC = 300.0
+
 
 def bucket_dir(lake_dir: str, bucket: int) -> str:
     return os.path.join(lake_dir, DATA_DIR, f"bucket={bucket:05d}")
@@ -455,7 +465,9 @@ class Manifest:
         """Version numbers of every manifest snapshot still on disk."""
         return self._versions_on_disk(self.lake_dir)
 
-    def cleanup_orphans(self, all_versions: bool = True) -> list:
+    def cleanup_orphans(
+        self, all_versions: bool = True, min_data_age_sec: float = 0.0
+    ) -> list:
         """Delete staged data files referenced by NO manifest snapshot.
 
         ``all_versions=True`` (default) keeps any file referenced by ANY
@@ -464,7 +476,19 @@ class Manifest:
         nothing) are still collected. Retire old snapshots (and THEN their
         now-unreferenced files) explicitly via ``expire_versions``.
         ``all_versions=False`` is the aggressive mode: only the current
-        version's files survive — time travel to older versions breaks."""
+        version's files survive — time travel to older versions breaks.
+
+        ``min_data_age_sec``: skip unreferenced DATA files younger than
+        this. A maintenance pass that can run concurrently with ingest
+        (compact under follow()) MUST pass ``ORPHAN_DATA_MIN_AGE_SEC``
+        here: a concurrent replay's freshly staged deltas are referenced by
+        no snapshot until their chunk commits, and collecting them would
+        let that commit rebase and succeed while pointing at deleted files.
+        0 (default) collects immediately — sound only when the caller's
+        contract excludes concurrent writers (crash recovery, retention)."""
+        import time
+
+        now = time.time()
         referenced = set(self.all_files())
         if all_versions:
             for v in self._retained_versions():
@@ -481,17 +505,23 @@ class Manifest:
                 full = os.path.join(dirpath, name)
                 rel = os.path.relpath(full, self.lake_dir)
                 if rel not in referenced:
-                    os.remove(full)
+                    if min_data_age_sec > 0:
+                        try:
+                            if now - os.path.getmtime(full) < min_data_age_sec:
+                                continue  # possibly a live writer's staging
+                        except FileNotFoundError:
+                            continue
+                    try:
+                        os.remove(full)
+                    except FileNotFoundError:
+                        continue  # a racing cleanup got it first
                     removed.append(rel)
         # crashed publishes can strand manifest temp files; sweep them too.
         # Age-gate the sweep: a concurrent writer's _exclusive_write temp is
         # seconds old, and deleting it out from under the writer turns the
         # designed ConcurrentWriterError into a FileNotFoundError. Only temps
         # older than ORPHAN_TMP_MIN_AGE_SEC (crash leftovers) are collected.
-        import time
-
         mdir = os.path.join(self.lake_dir, MANIFEST_DIR)
-        now = time.time()
         for name in os.listdir(mdir):
             if ".tmp." in name:
                 full = os.path.join(mdir, name)
@@ -564,17 +594,24 @@ class Manifest:
             "last_commit_metrics": self.metrics,
         }
 
-    def expire_versions(self, keep_last: int = 2) -> list:
+    def expire_versions(
+        self, keep_last: int = 2, min_data_age_sec: float = 0.0
+    ) -> list:
         """Delete manifest snapshots older than the newest ``keep_last``,
         then collect data files no surviving snapshot references. This is
         the explicit retention knob: time travel works for every retained
         version, and storage is reclaimed only when a version is expired
-        together with its exclusively-owned files."""
+        together with its exclusively-owned files. Pass
+        ``min_data_age_sec=ORPHAN_DATA_MIN_AGE_SEC`` when calling from a
+        loop that may race a concurrent producer (see ``cleanup_orphans``);
+        the default 0 is the quiesced-lake retention contract."""
         versions = self._retained_versions()
         cut = versions[:-keep_last] if keep_last > 0 else versions
         expired = [v for v in cut if v != self.version]
         mdir = os.path.join(self.lake_dir, MANIFEST_DIR)
         for v in expired:
             os.remove(os.path.join(mdir, f"v{v:06d}.json"))
-        self.cleanup_orphans(all_versions=True)
+        self.cleanup_orphans(
+            all_versions=True, min_data_age_sec=min_data_age_sec
+        )
         return expired

@@ -98,6 +98,36 @@ def test_manifest_cleanup_orphans(tmp_path):
     assert os.path.exists(ref) and not os.path.exists(orphan)
 
 
+def test_cleanup_orphans_data_age_gate(tmp_path):
+    """With ``min_data_age_sec`` set (the compact-under-follow mode), a
+    FRESH unreferenced data file — possibly a concurrent replay's
+    staged-but-uncommitted delta — survives the sweep; only aged orphans
+    (crash leftovers) are collected. Deleting the fresh file would let the
+    concurrent writer's rebased commit publish references to deleted files
+    (round-5 ADVICE)."""
+    import time
+
+    from clinical_trials_etl_ray.state.manifest import ORPHAN_DATA_MIN_AGE_SEC
+
+    lake = str(tmp_path / "lake")
+    m = Manifest.create(lake, num_buckets=4)
+    bdir = os.path.join(lake, "data", "bucket=00001")
+    os.makedirs(bdir)
+    fresh = os.path.join(bdir, "delta-inflight.parquet")
+    stale = os.path.join(bdir, "delta-crashleft.parquet")
+    open(fresh, "w").write("x")
+    open(stale, "w").write("x")
+    old = time.time() - ORPHAN_DATA_MIN_AGE_SEC - 60
+    os.utime(stale, (old, old))
+    removed = m.cleanup_orphans(min_data_age_sec=ORPHAN_DATA_MIN_AGE_SEC)
+    assert removed == ["data/bucket=00001/delta-crashleft.parquet"]
+    assert os.path.exists(fresh), "in-flight staged delta must survive"
+    # the default (explicit maintenance, concurrency excluded) still
+    # collects immediately
+    removed2 = m.cleanup_orphans()
+    assert removed2 == ["data/bucket=00001/delta-inflight.parquet"]
+
+
 def test_cleanup_orphans_age_gates_manifest_temps(tmp_path):
     """A FRESH manifest .tmp. file may be a live concurrent writer's
     in-flight publish — cleanup must leave it alone (deleting it turns that
