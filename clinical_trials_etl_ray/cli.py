@@ -61,6 +61,12 @@ def main(argv=None) -> int:
                     help="buckets per conversation for hot-key skew: an "
                          "integer, or 'auto' to derive from a bounded "
                          "key-distribution sample at lake creation")
+    rp.add_argument("--producer", default=None,
+                    help="producer identity for multi-writer ingest: chunk "
+                         "commits record this producer's own delivered LSN "
+                         "in the manifest ledger, and a crashed producer's "
+                         "re-run resumes from ITS entry instead of the "
+                         "combined watermark")
     rp.add_argument("--follow", action="store_true",
                     help="tail the binlog dir until no new shards arrive")
     rp.add_argument("--poll-interval", type=float, default=2.0)
@@ -449,7 +455,7 @@ def main(argv=None) -> int:
                 num_buckets=args.buckets,
                 files_per_chunk=args.files_per_chunk,
                 disorder_bound=args.disorder_bound, merge_mode=args.merge_mode,
-                hot_key_salt=salt,
+                hot_key_salt=salt, producer=args.producer,
             )
             if args.follow:
                 r = follow(args.binlog_dir, args.lake_dir,

@@ -233,8 +233,21 @@ def replay(
     disorder_bound: int | None = None,
     merge_mode: str = "direct",
     hot_key_salt: int | str = 1,
+    producer: str | None = None,
 ) -> ReplayReport:
     """Replay a binlog directory (or explicit shard list) into the lake.
+
+    producer: identity for MULTI-WRITER ingest (producers feeding disjoint
+    LSN ranges concurrently). Each chunk commit records this producer's own
+    delivered progress in the manifest's producer ledger, and a re-run
+    (crash recovery) seeds its chunk-skip / stale filters from that ledger
+    entry — NOT from the combined bucket watermark, which a concurrent
+    high-range producer may have advanced past this producer's undelivered
+    chunks (the re-run would otherwise silently skip everything while the
+    watermark claims delivery). Single-writer runs leave this None and keep
+    the plain watermark-resume behavior. The combined watermark remains a
+    total-order claim: trust it only after every producer's range has run
+    to completion (each re-run as needed under its own producer id).
 
     disorder_bound: the producer's guaranteed bound on out-of-order delivery
     in LSN units. ``None`` (default) reads the producer-published bound from
@@ -346,8 +359,17 @@ def replay(
     # producer's version (Manifest.commit retry-with-rebase) imports that
     # producer's watermark into ``man``, and judging our own undelivered
     # chunks against the combined total-order claim would silently skip
-    # them mid-run.
-    own_wm = man.watermarks()
+    # them mid-run. With an explicit ``producer`` id the seed comes from
+    # the persisted producer ledger (survives crashes: a re-run resumes at
+    # ITS OWN delivered LSN, even after other producers advanced the
+    # combined watermark past it); anonymous single-writer runs seed from
+    # the bucket watermarks as before.
+    if producer is not None:
+        own_wm = {
+            b: man.producer_watermark(producer) for b in range(num_buckets)
+        }
+    else:
+        own_wm = man.watermarks()
 
     for paths, commit_wm, chunk_max_lsn, chunk_rows in chunks:
         wm_global = min(own_wm.values()) if own_wm else -1
@@ -470,14 +492,17 @@ def replay(
                 stacklevel=2,
             )
 
+        own_new = max(commit_wm, wm_global)
         man = man.commit(
             new_files,
-            new_watermark_lsn=max(commit_wm, wm_global),
+            new_watermark_lsn=own_new,
             schema_names=list(target_schema.names),
             schema_ipc=schema_to_b64(target_schema),
             metrics=metrics,
+            producer_progress=(
+                (producer, own_new) if producer is not None else None
+            ),
         )
-        own_new = max(commit_wm, wm_global)
         own_wm = {b: max(v, own_new) for b, v in own_wm.items()}
         report.chunks_applied += 1
         report.rows_deduped += rows_deduped

@@ -112,6 +112,16 @@ class Manifest:
     # bucket_id(str in json) -> {"watermark_lsn": int, "files": [fileinfo...]}
     buckets: dict = field(default_factory=dict)
     metrics: dict = field(default_factory=dict)
+    # producer ledger: producer_id -> highest LSN that producer has itself
+    # durably delivered (advanced ONLY by that producer's own chunk commits,
+    # monotone, survives rebases). The shared per-bucket watermark is a
+    # TOTAL-ORDER claim ("every event ≤ W delivered") that only holds once
+    # every producer completes its range; a producer recovering from a crash
+    # must judge its own chunk-skip/stale filters against ITS ledger entry —
+    # not the combined watermark, which a concurrent high-range producer may
+    # have advanced past this producer's undelivered chunks (round-5
+    # ADVICE: the re-run would otherwise silently skip everything).
+    producers: dict = field(default_factory=dict)
 
     # ---------- construction ----------
 
@@ -174,6 +184,7 @@ class Manifest:
             schema_ipc=doc.get("schema_ipc"),
             buckets=doc.get("buckets", {}),
             metrics=doc.get("metrics", {}),
+            producers=doc.get("producers", {}),
         )
 
     @classmethod
@@ -195,6 +206,7 @@ class Manifest:
             schema_ipc=doc.get("schema_ipc"),
             buckets=doc.get("buckets", {}),
             metrics=doc.get("metrics", {}),
+            producers=doc.get("producers", {}),
         )
 
     @classmethod
@@ -249,6 +261,14 @@ class Manifest:
         """{bucket:int -> watermark_lsn} for broadcast into merge tasks."""
         return {b: self.watermark(b) for b in range(self.num_buckets)}
 
+    def producer_watermark(self, producer_id: str) -> int:
+        """The highest LSN ``producer_id`` has itself durably delivered
+        (−1 if it never committed). A crashed producer's re-run seeds its
+        chunk-skip and stale filters from THIS — never from the combined
+        bucket watermark, which another producer may have advanced past
+        this producer's undelivered chunks."""
+        return int(self.producers.get(str(producer_id), -1))
+
     # ---------- mutation (driver-side, single-threaded) ----------
 
     def commit(
@@ -261,6 +281,7 @@ class Manifest:
         metrics: dict | None = None,
         consumed_paths: set | None = None,
         max_retries: int = 3,
+        producer_progress: tuple | None = None,
     ) -> "Manifest":
         """Publish version+1 referencing prior files + ``new_files``.
 
@@ -312,6 +333,7 @@ class Manifest:
                     replace_buckets,
                     metrics,
                     consumed_paths,
+                    producer_progress,
                 )
             except ConcurrentWriterError:
                 if attempt >= max_retries:
@@ -336,6 +358,7 @@ class Manifest:
         replace_buckets: dict | None,
         metrics: dict | None,
         consumed_paths: set | None,
+        producer_progress: tuple | None = None,
     ) -> "Manifest":
         buckets = {str(b): {"watermark_lsn": self.watermark(b), "files": self.files_for_bucket(b)}
                    for b in range(self.num_buckets)}
@@ -384,6 +407,14 @@ class Manifest:
             )
             eff_names, eff_ipc = list(u.names), schema_to_b64(u)
 
+        # producer ledger: monotone per-producer merge — on a rebase the
+        # base manifest already carries the OTHER producer's entry, so both
+        # survive regardless of commit interleaving
+        producers = dict(self.producers)
+        if producer_progress is not None:
+            pid, lsn = producer_progress
+            producers[str(pid)] = max(int(lsn), int(producers.get(str(pid), -1)))
+
         nxt = Manifest(
             lake_dir=self.lake_dir,
             version=self.version + 1,
@@ -396,6 +427,7 @@ class Manifest:
             schema_ipc=eff_ipc or self.schema_ipc,
             buckets=buckets,
             metrics=metrics or {},
+            producers=producers,
         )
         nxt._publish()
         return nxt
@@ -435,6 +467,7 @@ class Manifest:
             schema_ipc=self.schema_ipc,
             buckets=buckets,
             metrics=metrics or {},
+            producers=dict(self.producers),
         )
         nxt._publish()
         return nxt
@@ -452,6 +485,7 @@ class Manifest:
             "schema_ipc": self.schema_ipc,
             "buckets": self.buckets,
             "metrics": self.metrics,
+            "producers": self.producers,
         }
         _exclusive_write(
             os.path.join(mdir, f"v{self.version:06d}.json"),
@@ -591,6 +625,7 @@ class Manifest:
             "watermark_min": min(wms, default=-1),
             "watermark_max": max(wms, default=-1),
             "hot_key_advisories": advisories,
+            "producers": dict(self.producers),
             "last_commit_metrics": self.metrics,
         }
 

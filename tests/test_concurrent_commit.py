@@ -158,6 +158,87 @@ def test_compaction_rebase_keeps_concurrent_deltas(ray_session, tmp_path):
     )
 
 
+def test_crashed_low_range_producer_rerun_delivers(ray_session, tmp_path):
+    """Round-5 ADVICE (medium): a low-range producer that crashed before
+    delivering anything re-runs AFTER a concurrent high-range producer
+    advanced the combined watermark past its entire range. Seeded from the
+    combined watermark, the re-run would skip every chunk (chunk_max_lsn ≤
+    global watermark) and the delta writer would stale-filter any rows —
+    silent data loss while the watermark claims delivery. With producer
+    ids, the re-run seeds from ITS OWN ledger entry (-1: never delivered)
+    and lands its range; a second re-run then skips via the ledger."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    lo_log = str(tmp_path / "binlog_lo")
+    write_binlog_shards(
+        BinlogSpec(n_events=2_000, n_convs=20, seed=71, delete_rate=0.05),
+        lo_log, n_shards=2, parallel=False,
+    )
+    raw = str(tmp_path / "binlog_hi_raw")
+    write_binlog_shards(
+        BinlogSpec(n_events=2_000, n_convs=20, seed=72, delete_rate=0.05),
+        raw, n_shards=2, parallel=False,
+    )
+    hi_log = str(tmp_path / "binlog_hi")
+    os.makedirs(hi_log)
+    for name in sorted(os.listdir(raw)):
+        src = os.path.join(raw, name)
+        if name.endswith(".parquet"):
+            t = pq.read_table(src)
+            i = t.schema.get_field_index("lsn")
+            t = t.set_column(
+                i, "lsn", pc.add(t.column("lsn"), pa.scalar(1_000_000))
+            )
+            pq.write_table(t, os.path.join(hi_log, name))
+        else:
+            import shutil
+
+            shutil.copy(src, os.path.join(hi_log, name))
+
+    lake = str(tmp_path / "lake")
+    Manifest.create(lake, num_buckets=2)
+
+    # producer "lo" crashes before delivering ANYTHING; producer "hi"
+    # completes its whole (higher) range, advancing the combined watermark
+    r_hi = replay(hi_log, lake, num_buckets=2, files_per_chunk=1,
+                  producer="hi")
+    assert r_hi.chunks_applied == r_hi.chunks_total
+    man = Manifest.load(lake)
+    assert man.global_watermark() >= 1_000_000
+    assert man.producer_watermark("hi") >= 1_000_000
+    assert man.producer_watermark("lo") == -1
+
+    # the documented crash remedy — "re-run with its own range" — must
+    # actually deliver, not no-op
+    r_lo = replay(lo_log, lake, num_buckets=2, files_per_chunk=1,
+                  producer="lo")
+    assert r_lo.chunks_skipped == 0
+    assert r_lo.delta_rows_written > 0
+
+    serial = str(tmp_path / "serial")
+    replay(lo_log, serial, num_buckets=2, files_per_chunk=1)
+    replay(hi_log, serial, num_buckets=2, files_per_chunk=1)
+    key = ["conv_id", "turn_idx"]
+    got = read_final_table(lake).to_pandas()
+    want = read_final_table(serial).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values(key, kind="mergesort").reset_index(drop=True)[sorted(got.columns)],
+        want.sort_values(key, kind="mergesort").reset_index(drop=True)[sorted(want.columns)],
+    )
+
+    # idempotence: a THIRD run of "lo" resumes from its ledger and skips all
+    r_again = replay(lo_log, lake, num_buckets=2, files_per_chunk=1,
+                     producer="lo")
+    assert r_again.chunks_applied == 0
+    assert r_again.chunks_skipped == r_again.chunks_total
+    # ledger persisted and monotone for both producers
+    man2 = Manifest.load(lake)
+    assert man2.producer_watermark("lo") >= 0
+    assert man2.producer_watermark("hi") >= 1_000_000
+
+
 def test_two_thread_replay_disjoint_ranges(ray_session, tmp_path):
     """VERDICT item 5's done-criterion: two producers feeding disjoint LSN
     ranges replay CONCURRENTLY into one lake; both commit chains land, and
