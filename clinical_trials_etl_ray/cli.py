@@ -345,10 +345,15 @@ def main(argv=None) -> int:
              "against it by signature agreement — only the increment and "
              "the touched partitions are read, never the history",
     )
-    lnp.add_argument("action", choices=["update", "probe"])
+    lnp.add_argument("action",
+                     choices=["update", "probe", "compact", "rebucket"])
     lnp.add_argument("index_dir")
-    lnp.add_argument("input", help="parquet file/dir of (doc_id, text)")
-    lnp.add_argument("--buckets", type=int, default=32)
+    lnp.add_argument("input", nargs="?", default=None,
+                     help="(update/probe) parquet file/dir of (doc_id, text)")
+    lnp.add_argument("--buckets", type=int, default=None,
+                     help="(update) partition count at CREATION only — "
+                          "default: derived from the first increment's "
+                          "size; (rebucket) the new partition count")
     lnp.add_argument("--est-threshold", type=float, default=0.7,
                      help="(probe) keep pairs with signature-agreement "
                           "Jaccard estimate at or above this")
@@ -723,15 +728,34 @@ def main(argv=None) -> int:
         elif args.cmd == "lshidx":
             import ray.data
 
-            from .stages.lsh_index import probe_lsh_index, update_lsh_index
+            from .stages.lsh_index import (
+                compact_lsh_index,
+                probe_lsh_index,
+                rebucket_lsh_index,
+                update_lsh_index,
+            )
 
-            ds = ray.data.read_parquet(args.input)
-            if args.action == "update":
+            if args.action == "compact":
+                print(json.dumps(
+                    {"partitions_folded": compact_lsh_index(args.index_dir)}
+                ))
+            elif args.action == "rebucket":
+                if args.buckets is None:
+                    p.error("lshidx rebucket requires --buckets")
+                v = rebucket_lsh_index(args.index_dir, args.buckets)
+                print(json.dumps(
+                    {"new_num_buckets": args.buckets, "version": v}
+                ))
+            elif args.input is None:
+                p.error(f"lshidx {args.action} requires an input path")
+            elif args.action == "update":
+                ds = ray.data.read_parquet(args.input)
                 r = update_lsh_index(
                     args.index_dir, ds, num_buckets=args.buckets
                 )
                 print(json.dumps(r.__dict__))
             else:
+                ds = ray.data.read_parquet(args.input)
                 pairs = probe_lsh_index(
                     args.index_dir, ds, est_threshold=args.est_threshold
                 )
