@@ -52,6 +52,12 @@ _ORACLE_FIRST = [
     "order_followups_window",
     "training_data_prep",
     "validate_events",
+    # r4's newest load-bearing machinery, rotated into the window in r5
+    # (VERDICT r4 item 2) for driver-run hashes: in-place lake rebucket,
+    # cross-run incremental exact dedup, cross-run incremental near-dup
+    "cdc_rebucket_final",
+    "dedup_incremental",
+    "near_dup_incremental",
 ]
 
 # registered but deliberately beyond the driver's 50-query window: rows-only
@@ -74,7 +80,6 @@ _TAIL = [
     "text_search_index",    # oracle-bearing; pytest-enforced (window is full)
     "bm25_rank",            # oracle-bearing; pytest-enforced (window is full)
     "render_conversations", # oracle-bearing; pytest-enforced (window is full)
-    "cdc_rebucket_final",   # oracle-bearing; pytest-enforced (window is full)
     "near_dup_clusters",    # oracle-bearing; pytest-enforced (window is full)
     "decontaminate_docs",   # oracle-bearing; pytest-enforced (window is full)
     "decon_cosine",         # oracle-bearing; pytest-enforced (window is full)
@@ -82,8 +87,6 @@ _TAIL = [
     "approx_quantiles_lang",  # rows-only (log-binned quantile sketch)
     "approx_distinct_lang",   # rows-only (grouped HLL)
     "stratified_sample",    # oracle-bearing; pytest-enforced (window is full)
-    "dedup_incremental",    # oracle-bearing; pytest-enforced (window is full)
-    "near_dup_incremental", # oracle-bearing; pytest-enforced (window is full)
     "repetition_scores",    # oracle-bearing; pytest-enforced (window is full)
     "seeded_shuffle",       # oracle-bearing; pytest-enforced (window is full)
     "weighted_sample_source",  # oracle-bearing; pytest-enforced (window full)
@@ -108,6 +111,11 @@ _TAIL = [
     "value_buckets",        # bucket-metric twin of completeness_buckets
     "customer_lookup",      # point-lookup twin of orders_filtered_page
     "distinct_mktsegments", # distinct twin of distinct_event_types
+    # displaced in r5 to make room for the rotated-in r4 machinery (each
+    # has a same-family twin in-window; oracles stay pytest-pinned)
+    "autocomplete_part_names",  # J4 twin: orders_filtered_page/part_multisearch
+    "completeness_buckets",     # bucket-metric twin: null_metrics_events
+    "canonical_event_types",    # normalizer twin: distinct_event_types
 ]
 
 
