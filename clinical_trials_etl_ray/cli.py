@@ -792,16 +792,15 @@ def main(argv=None) -> int:
                  "json": write_json}[args.format](out, args.out_dir)
                 print(json.dumps({"out": args.out_dir}))
         elif args.cmd == "verify":
-            import tempfile
-
             import pyarrow as pa
 
+            from .functions.scratch import scratch_dir
             from .oracle import oracle_final_table
             from .pipelines.replay import replay
             from .schema import unify_to_event_schema
             from .stages.merge import read_final_table
 
-            lake = tempfile.mkdtemp(prefix="verify_lake_")
+            lake = scratch_dir("verify_lake_")
             replay(args.binlog_dir, lake, num_buckets=args.buckets,
                    disorder_bound=args.disorder_bound)
             got = pa.concat_tables(

@@ -25,11 +25,12 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from ..functions.scratch import scratch_dir
 
 from ..schema import EVENT_SCHEMA
 
@@ -105,7 +106,7 @@ def run_cdc_replay(
     from ..pipelines.replay import compact, replay
     from ..stages.merge import read_final_table
 
-    work = tempfile.mkdtemp(prefix="cdc_replay_", dir="/tmp")
+    work = scratch_dir("cdc_replay_")
     binlog_dir = os.path.join(work, "binlog")
     lake_dir = os.path.join(work, "lake")
     derived_binlog_ds(sf_dir).write_parquet(binlog_dir)
@@ -361,7 +362,7 @@ def q_cdc_upsert_corrections(sf_dir: str):
     from ..stages.merge import read_final_table
     from ..schema import TRANSCRIPT_SCHEMA
 
-    work = tempfile.mkdtemp(prefix="cdc_upsert_", dir="/tmp")
+    work = scratch_dir("cdc_upsert_")
     binlog_dir = os.path.join(work, "binlog")
     lake_dir = os.path.join(work, "lake")
     derived_binlog_ds(sf_dir).write_parquet(binlog_dir)
@@ -428,7 +429,7 @@ def q_cdc_conv_gaps(sf_dir: str):
     from ..pipelines.replay import replay
     from ..stages.merge import read_final_table
 
-    work = tempfile.mkdtemp(prefix="cdc_gaps_", dir="/tmp")
+    work = scratch_dir("cdc_gaps_")
     binlog_dir = os.path.join(work, "binlog")
     lake_dir = os.path.join(work, "lake")
     derived_binlog_ds(sf_dir).write_parquet(binlog_dir)
@@ -498,7 +499,7 @@ def q_cdc_bootstrap_handoff(sf_dir: str):
     from ..stages.merge import read_final_table
     from ..schema import TRANSCRIPT_SCHEMA
 
-    work = tempfile.mkdtemp(prefix="cdc_bootstrap_", dir="/tmp")
+    work = scratch_dir("cdc_bootstrap_")
     binlog_dir = os.path.join(work, "binlog")
     derived_binlog_ds(sf_dir).write_parquet(binlog_dir)
     shards = sorted(
@@ -562,7 +563,7 @@ def q_cdc_change_feed(sf_dir: str):
     s = mn + (mx - mn) // 4
     u = mn + (3 * (mx - mn)) // 4
 
-    work = tempfile.mkdtemp(prefix="cdc_feed_", dir="/tmp")
+    work = scratch_dir("cdc_feed_")
     binlog_dir = os.path.join(work, "binlog")
     lake_dir = os.path.join(work, "lake")
     ds = derived_binlog_ds(sf_dir)
@@ -621,7 +622,7 @@ def q_cdc_replica_final(sf_dir: str):
     from ..schema import TRANSCRIPT_SCHEMA
     from ..stages.merge import read_final_table
 
-    work = tempfile.mkdtemp(prefix="cdc_replica_", dir="/tmp")
+    work = scratch_dir("cdc_replica_")
     binlog_dir = os.path.join(work, "binlog")
     src_lake = os.path.join(work, "src_lake")
     replica = os.path.join(work, "replica")
@@ -662,7 +663,7 @@ def q_mv_conv_stats(sf_dir: str):
         refresh_matview,
     )
 
-    work = tempfile.mkdtemp(prefix="cdc_mv_", dir="/tmp")
+    work = scratch_dir("cdc_mv_")
     binlog_dir = os.path.join(work, "binlog")
     lake_dir = os.path.join(work, "lake")
     mv_dir = os.path.join(work, "mv")
@@ -726,7 +727,7 @@ def q_mv_role_hourly(sf_dir: str):
         time_col="ts",
         window_s=3600,
     )
-    work = tempfile.mkdtemp(prefix="cdc_mv_win_", dir="/tmp")
+    work = scratch_dir("cdc_mv_win_")
     binlog_dir = os.path.join(work, "binlog")
     lake_dir = os.path.join(work, "lake")
     mv_dir = os.path.join(work, "mv")
@@ -772,7 +773,7 @@ def q_text_search_index(sf_dir: str):
         search_text_index,
     )
 
-    work = tempfile.mkdtemp(prefix="cdc_tidx_", dir="/tmp")
+    work = scratch_dir("cdc_tidx_")
     binlog_dir = os.path.join(work, "binlog")
     lake_dir = os.path.join(work, "lake")
     idx_dir = os.path.join(work, "tidx")
@@ -808,7 +809,7 @@ def q_bm25_rank(sf_dir: str):
     from ..pipelines.replay import replay
     from ..stages.textindex import build_text_index, rank_text_index
 
-    work = tempfile.mkdtemp(prefix="cdc_bm25_", dir="/tmp")
+    work = scratch_dir("cdc_bm25_")
     binlog_dir = os.path.join(work, "binlog")
     lake_dir = os.path.join(work, "lake")
     idx_dir = os.path.join(work, "tidx")

@@ -32,6 +32,7 @@ from ..stages.embed import (
     near_dup_pairs_cosine,
     near_dup_pairs_lsh,
 )
+from ..functions.scratch import scratch_dir, scratch_root
 from ..stages.multimodal import media_features_ds
 from ..stages.text import Fingerprinter, LangId, QualityScorer, TokenCounter, md5_exact
 
@@ -306,7 +307,6 @@ def q_near_dup_incremental(sf_dir: str):
     corpus is small at test SF; at scale the fetch is bounded by the PAIR
     set). The historical half is never re-read after indexing."""
     import shutil
-    import tempfile
 
     import pyarrow.compute as _pc
     import pyarrow.parquet as _pq
@@ -324,7 +324,7 @@ def q_near_dup_incremental(sf_dir: str):
         lambda t: t.filter(_pc.greater_equal(t["doc_id"], split)),
         batch_format="pyarrow",
     )
-    idx = tempfile.mkdtemp(prefix="lsh_idx_", dir="/tmp")
+    idx = scratch_dir("lsh_idx_")
     update_lsh_index(idx, hist)
     uniq = lsh_candidate_pairs(idx, new)
 
@@ -816,12 +816,10 @@ def q_dedup_incremental(sf_dir: str):
     historical corpus is never re-read or re-shuffled; ~16 bytes/doc of
     state is what crosses runs). Survivors = increment docs whose content
     was never seen before."""
-    import tempfile
-
     from ..stages.seen_index import filter_unseen, update_seen_index
 
     cut = _docs_id_cut(sf_dir)
-    index_dir = tempfile.mkdtemp(prefix="seen_idx_")
+    index_dir = scratch_dir("seen_idx_")
 
     import pyarrow.compute as pc
 
@@ -869,12 +867,11 @@ def q_ann_topk_ivf_indexed(sf_dir: str):
     exercising true storage-level pruning."""
     import hashlib as _hl
     import os
-    import tempfile
 
     from ..stages.embed import ann_topk_ivf_indexed, build_ivf_index
 
     tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    index_dir = os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}")
+    index_dir = os.path.join(scratch_root(), f"ivf_index_{tag}")
     if not os.path.exists(os.path.join(index_dir, "centroids.parquet")):
         build_ivf_index(sf_dir, index_dir, n_centroids=16)
     return ann_topk_ivf_indexed(sf_dir, index_dir, n_queries=5, k=5, nprobe=16)
@@ -888,12 +885,11 @@ def q_ann_topk_ivf_pq(sf_dir: str):
     recall and determinism are pytest-pinned (test_pq.py)."""
     import hashlib as _hl
     import os
-    import tempfile
 
     from ..stages.pq import ann_topk_ivf_pq, build_pq_index
 
     tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    index_dir = os.path.join(tempfile.gettempdir(), f"pq_index_{tag}")
+    index_dir = os.path.join(scratch_root(), f"pq_index_{tag}")
     if not os.path.exists(os.path.join(index_dir, "codebooks.parquet")):
         build_pq_index(sf_dir, index_dir, n_centroids=16, m=16)
     return ann_topk_ivf_pq(

@@ -110,11 +110,11 @@ def replay_external(
     converted parquet copy is removed after the replay when this function
     created the temp dir (pass ``work_dir`` to keep it)."""
     import shutil
-    import tempfile
 
+    from ..functions.scratch import scratch_dir
     from ..pipelines.replay import replay
 
-    out = work_dir or tempfile.mkdtemp(prefix="binlog_pq_", dir="/tmp")
+    out = work_dir or scratch_dir("binlog_pq_")
     try:
         convert_binlog_shards(src_dir, out, fmt=fmt)
         return replay(out, lake_dir, **replay_kwargs)

@@ -61,6 +61,100 @@ def hash_embed(texts, dim: int = 32) -> np.ndarray:
     return normalize_rows(vals)
 
 
+class TextEmbedder:
+    """Actor-pool text→vector stage — the env-gated REAL-model slot
+    (round-5 VERDICT item 6, same contract as multimodal.RealDecoder): a
+    callable class for ``map_batches(TextEmbedder, concurrency=N)`` whose
+    backend loads ONCE per actor in ``__init__``:
+
+    - ``"hash"`` (default): the deterministic ``hash_embed`` stand-in —
+      always available, identical vectors on every worker/run; this is
+      what every oracle-pinned test exercises.
+    - ``"sklearn"``: HashingVectorizer token features projected to ``dim``
+      by a fixed seeded Gaussian matrix — deterministic given the sklearn
+      version; a real (if shallow) lexical embedding.
+    - ``"model"``: sentence-transformers, loading the LOCAL model path in
+      ``$CTE_EMBED_MODEL`` (this sandbox has no network; on a cluster the
+      path would be a shared mount or pre-baked image path).
+    - ``"auto"``: best importable of model > sklearn > hash (never
+      raises); the chosen backend is exposed as ``self.backend``.
+
+    Requesting ``"sklearn"``/``"model"`` explicitly when the library is
+    absent raises NotImplementedError (mirrors RealDecoder) — loud, never
+    a silent downgrade. Output layout is identical across backends:
+    input columns + ``out_col`` as list<float64>, rows L2-normalized.
+    """
+
+    def __init__(
+        self,
+        dim: int = 32,
+        backend: str = "hash",
+        text_col: str = "text",
+        out_col: str = "embedding",
+    ):
+        self.dim, self.text_col, self.out_col = dim, text_col, out_col
+        if backend == "auto":
+            for cand in ("model", "sklearn"):
+                try:
+                    self._load(cand)
+                    return
+                except (NotImplementedError, KeyError):
+                    continue
+            self._load("hash")
+        else:
+            self._load(backend)
+
+    def _load(self, backend: str) -> None:
+        if backend == "model":
+            import os
+
+            try:
+                from sentence_transformers import SentenceTransformer
+            except ImportError as e:
+                raise NotImplementedError(
+                    "backend='model' requires sentence_transformers, not "
+                    "available in this environment; use backend='hash'"
+                ) from e
+            self._model = SentenceTransformer(os.environ["CTE_EMBED_MODEL"])
+        elif backend == "sklearn":
+            try:
+                from sklearn.feature_extraction.text import HashingVectorizer
+            except ImportError as e:
+                raise NotImplementedError(
+                    "backend='sklearn' requires scikit-learn, not "
+                    "available in this environment; use backend='hash'"
+                ) from e
+            self._vec = HashingVectorizer(
+                n_features=4096, alternate_sign=True, norm=None
+            )
+            # fixed-seed projection: deterministic across actors and runs
+            self._proj = np.random.default_rng(0xC0FFEE).standard_normal(
+                (4096, self.dim)
+            )
+        elif backend != "hash":
+            raise ValueError(f"unknown embed backend {backend!r}")
+        self.backend = backend
+
+    def _embed(self, texts: list) -> np.ndarray:
+        texts = ["" if t is None else str(t) for t in texts]
+        if self.backend == "model":
+            out = self._model.encode(
+                texts, normalize_embeddings=True, show_progress_bar=False
+            )
+            return np.asarray(out, dtype=np.float64)
+        if self.backend == "sklearn":
+            feats = self._vec.transform(texts)  # sparse (n, 4096)
+            return normalize_rows(np.asarray(feats @ self._proj))
+        return hash_embed(texts, dim=self.dim)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = self._embed(batch.column(self.text_col).to_pylist())
+        return batch.append_column(
+            self.out_col,
+            pa.array(list(vecs), pa.list_(pa.float64())),
+        )
+
+
 def read_lowest_vec_ids(path: str, n: int, columns=("vec_id", "embedding")) -> pa.Table:
     """The n rows with the smallest ``vec_id``, reading only the row groups
     that can contain them (parquet min-stats pruning) — O(n + row_group)

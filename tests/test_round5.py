@@ -30,6 +30,26 @@ def test_r5_displaced_window_queries_match_oracle(ray_session, name):
     assert_matches_oracle(q(SF), sql, SF)
 
 
+def test_scratch_dir_respects_env(tmp_path, monkeypatch):
+    """Query-pipeline scratch roots honor CTE_SCRATCH_DIR (the multi-node
+    shared-filesystem knob; ADVICE r4 low: the near-dup index scratch was
+    hardwired to driver-local /tmp)."""
+    import os
+
+    from clinical_trials_etl_ray.functions.scratch import (
+        scratch_dir,
+        scratch_root,
+    )
+
+    shared = str(tmp_path / "shared")
+    monkeypatch.setenv("CTE_SCRATCH_DIR", shared)
+    assert scratch_root() == shared
+    d = scratch_dir("x_")
+    assert d.startswith(shared) and os.path.isdir(d)
+    monkeypatch.delenv("CTE_SCRATCH_DIR")
+    assert scratch_root() != shared
+
+
 def test_window_contains_rotated_in_r4_machinery():
     """The driver's 50-entry window must include the r4 machinery rotated
     in for r5, every windowed entry must be oracle-backed, and the window
