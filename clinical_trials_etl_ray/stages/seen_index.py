@@ -179,8 +179,9 @@ def filter_unseen(ds, index_dir: str, text_col: str = "text"):
     partition once.
     """
     man = Manifest.load(index_dir)
+    buckets = man.num_buckets  # ship the int, not the manifest, per task
     stamped = ds.map_batches(
-        lambda df: stamp_fingerprints(df, text_col, man.num_buckets),
+        lambda df: stamp_fingerprints(df, text_col, buckets),
         batch_format="pandas",
     )
     return _filter_from_stamped(man, stamped)
