@@ -237,17 +237,63 @@ def update_lsh_index(
     ]
 
     infos = post_infos + sig_infos
+
+    # Growth advisory — the lshidx sibling of the lake's hot-key monitor:
+    # committed posting rows per partition (manifest file metadata only,
+    # no data read), including this increment. When the fullest partition
+    # exceeds 2x the creation budget, warn with the prescribed fix
+    # (rebucket_lsh_index at the advised width) and record the advice in
+    # the commit metrics so `follow`-style automation can act on it.
+    post_rows: dict = {}
+    for b in range(num_buckets):
+        for f in man.files_for_bucket(b):
+            if f["kind"] == "lshp":
+                post_rows[b] = post_rows.get(b, 0) + int(f["row_count"])
+    for i in post_infos:
+        post_rows[i["bucket"]] = (
+            post_rows.get(i["bucket"], 0) + int(i["row_count"])
+        )
+    max_part_rows = max(post_rows.values(), default=0)
+    total_post_rows = sum(post_rows.values())
+    advice_width = None
+    if max_part_rows > 2 * LSH_PARTITION_ROW_BUDGET:
+        advice_width = max(
+            num_buckets,
+            min(
+                LSH_MAX_BUCKETS,
+                -(-total_post_rows // LSH_PARTITION_ROW_BUDGET),
+            ),
+        )
+        if advice_width > num_buckets:
+            import warnings
+
+            warnings.warn(
+                f"LSH index at {index_dir!r}: fullest posting partition "
+                f"holds {max_part_rows} rows (> 2x the "
+                f"{LSH_PARTITION_ROW_BUDGET}-row budget) at "
+                f"num_buckets={num_buckets}; run "
+                f"rebucket_lsh_index(index_dir, {advice_width}) to "
+                "re-partition in place",
+                stacklevel=2,
+            )
+        else:
+            advice_width = None  # already at the cap / width sufficient
+
     report = LshIndexReport(version=man.version)
     if infos:
+        metrics = {
+            "lsh_index": True,
+            "lsh_bands": bands,
+            "lsh_rows": rows,
+            "docs_indexed": int(n_docs),
+            "lsh_partition_max_rows": int(max_part_rows),
+        }
+        if advice_width is not None:
+            metrics["lsh_rebucket_advice_width"] = int(advice_width)
         man = man.commit(
             infos,
             new_watermark_lsn=man.global_watermark(),
-            metrics={
-                "lsh_index": True,
-                "lsh_bands": bands,
-                "lsh_rows": rows,
-                "docs_indexed": int(n_docs),
-            },
+            metrics=metrics,
         )
         report = LshIndexReport(
             buckets_touched=len({i["bucket"] for i in infos}),

@@ -309,3 +309,40 @@ def test_rebucket_lsh_index_probe_equivalence(ray_session, tmp_path):
     )
     update_lsh_index(grown, _ds(extra))
     pd.testing.assert_frame_equal(probe_df(grown), before)
+
+
+def test_update_emits_growth_advisory_and_rebucket_clears_it(
+    ray_session, tmp_path, monkeypatch
+):
+    """The lshidx growth monitor (r5): when the fullest posting partition
+    exceeds 2x the creation row budget, update_lsh_index warns with the
+    prescribed rebucket width and records it in the manifest metrics;
+    after rebucketing at the advised width the next update is quiet."""
+    import warnings
+
+    from clinical_trials_etl_ray.stages import lsh_index as L
+    from clinical_trials_etl_ray.state.manifest import Manifest
+
+    corpus = _planted_corpus()
+    idx = str(tmp_path / "idx")
+    # 5 docs x 32 bands = 160 posting rows over 2 partitions -> ~80/part;
+    # a 30-row budget makes 2x = 60 < 80 -> advisory fires
+    monkeypatch.setattr(L, "LSH_PARTITION_ROW_BUDGET", 30)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        L.update_lsh_index(idx, _ds(corpus[corpus.doc_id < 5]), num_buckets=2)
+    hits = [x for x in w if "rebucket_lsh_index" in str(x.message)]
+    assert hits, [str(x.message) for x in w]
+    man = Manifest.load(idx)
+    advised = man.metrics.get("lsh_rebucket_advice_width")
+    assert advised and advised > 2
+    assert man.metrics["lsh_partition_max_rows"] > 60
+
+    L.rebucket_lsh_index(idx, advised)
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        L.update_lsh_index(
+            idx, _ds(corpus[(corpus.doc_id >= 5) & (corpus.doc_id < 7)])
+        )
+    assert not [x for x in w2 if "rebucket_lsh_index" in str(x.message)], \
+        [str(x.message) for x in w2]
