@@ -675,13 +675,19 @@ def rebucket_lsh_index(index_dir: str, new_num_buckets: int) -> int:
         bucket_files.setdefault(int(i["bucket"]), []).append(
             {k: v for k, v in i.items() if k != "bucket"}
         )
+    # carry parameters forward but drop the growth advice the rebucket
+    # just acted on (the next update recomputes it at the new layout)
+    carried = {
+        k: v for k, v in man.metrics.items()
+        if k not in ("lsh_rebucket_advice_width", "lsh_partition_max_rows")
+    }
     nxt = man.commit_layout(
         new_num_buckets,
         man.salt_factor,
         bucket_files,
         new_watermark_lsn=man.global_watermark(),
         metrics={
-            **man.metrics,
+            **carried,
             "lsh_rebucket": True,
             "old_num_buckets": man.num_buckets,
         },

@@ -339,6 +339,10 @@ def test_update_emits_growth_advisory_and_rebucket_clears_it(
     assert man.metrics["lsh_partition_max_rows"] > 60
 
     L.rebucket_lsh_index(idx, advised)
+    man2 = Manifest.load(idx)
+    # the acted-on advice is dropped at the layout commit; params carry over
+    assert "lsh_rebucket_advice_width" not in man2.metrics
+    assert man2.metrics.get("lsh_bands") == 32
     with warnings.catch_warnings(record=True) as w2:
         warnings.simplefilter("always")
         L.update_lsh_index(
