@@ -1,4 +1,16 @@
+import os
+from pathlib import Path
+
 import pytest
+
+# Same quiet Ray Data logging config bench.py uses: worker-side INFO chatter
+# (e.g. the ray schema-hash "unhashable type 'dict'" line from dict-metadata
+# batches) goes to the session file handler, not the pytest console. Must be
+# in the environment BEFORE ray.init so worker processes inherit it.
+os.environ.setdefault(
+    "RAY_DATA_LOGGING_CONFIG",
+    str(Path(__file__).resolve().parent.parent / "ray_data_logging_quiet.yaml"),
+)
 
 
 @pytest.fixture(scope="session")
