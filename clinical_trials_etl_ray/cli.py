@@ -368,16 +368,20 @@ def main(argv=None) -> int:
              "ingested) and filter new data against it — only the "
              "increment is exchanged, never the historical corpus",
     )
-    snp.add_argument("action", choices=["update", "filter"])
+    snp.add_argument("action",
+                     choices=["update", "filter", "compact", "rebucket"])
     snp.add_argument("index_dir")
-    snp.add_argument("input", help="parquet file/dir of documents")
+    snp.add_argument("input", nargs="?", default=None,
+                     help="(update/filter) parquet file/dir of documents")
     snp.add_argument("--out-dir", default=None,
                      help="(filter) survivors destination")
     snp.add_argument("--format", choices=["parquet", "csv", "json"],
                      default="parquet")
     snp.add_argument("--text-col", default="text")
-    snp.add_argument("--buckets", type=int, default=32,
-                     help="(update) index partition count, fixed at creation")
+    snp.add_argument("--buckets", type=int, default=None,
+                     help="(update) partition count at CREATION only — "
+                          "default: derived from the first increment's "
+                          "size; (rebucket) the new partition count")
 
     stp = sub.add_parser(
         "stats",
@@ -773,8 +777,28 @@ def main(argv=None) -> int:
         elif args.cmd == "seen":
             import ray.data
 
-            from .stages.seen_index import filter_unseen, update_seen_index
+            from .stages.seen_index import (
+                compact_seen_index,
+                filter_unseen,
+                rebucket_seen_index,
+                update_seen_index,
+            )
 
+            if args.action == "compact":
+                print(json.dumps(
+                    {"partitions_folded": compact_seen_index(args.index_dir)}
+                ))
+                return 0
+            if args.action == "rebucket":
+                if args.buckets is None:
+                    p.error("seen rebucket requires --buckets")
+                v = rebucket_seen_index(args.index_dir, args.buckets)
+                print(json.dumps(
+                    {"new_num_buckets": args.buckets, "version": v}
+                ))
+                return 0
+            if args.input is None:
+                p.error(f"seen {args.action} requires an input path")
             ds = ray.data.read_parquet(args.input)
             if args.action == "update":
                 r = update_seen_index(
