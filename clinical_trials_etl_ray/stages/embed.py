@@ -410,21 +410,13 @@ class IVFTopK:
         return topk_per_query(self.qids, vec_ids, cos, self.k, allowed=allowed)
 
 
-def coarse_centroids(
-    path: str, n_centroids: int, refine_iters: int = 8
+def _codebook_from_sample(
+    m: np.ndarray, n_centroids: int, refine_iters: int = 8
 ) -> np.ndarray:
-    """Deterministic coarse codebook for IVF: a strided seed from a BOUNDED
-    corpus prefix (``read_prefix_rows`` — O(sample) driver I/O, never the
-    table), refined by ``refine_iters`` Lloyd iterations of spherical
-    k-means over the same sample. Deterministic (fixed sample, fixed seed
-    order, argmax ties break low) so IVF list assignment is stable across
-    runs; exactness of nprobe=C paths is independent of the codebook.
-    At lake scale the refinement input stays this bounded sample; when
-    codebook quality on the sample plateaus, ``kmeans_refine_distributed``
-    runs the same Lloyd update over the FULL corpus with one streaming
-    partial-sum pass per iteration."""
-    sample = read_prefix_rows(path, max(1024, n_centroids * 16)).sort_by("vec_id")
-    m = table_to_matrix(sample)
+    """Strided seed + ``refine_iters`` Lloyd iterations of spherical
+    k-means over a bounded sample matrix. Deterministic (fixed sample,
+    fixed seed order, argmax ties break low); empty clusters keep their
+    previous centroid."""
     stride = max(1, len(m) // n_centroids)
     cent = m[: stride * n_centroids : stride][:n_centroids].copy()
     sm = normalize_rows(m)
@@ -436,8 +428,26 @@ def coarse_centroids(
         counts = np.bincount(assign, minlength=len(cent)).astype(np.float64)
         nonempty = counts > 0
         cent[nonempty] = sums[nonempty] / counts[nonempty, None]
-        # empty clusters keep their previous centroid (deterministic)
     return cent
+
+
+def coarse_centroids(
+    path: str, n_centroids: int, refine_iters: int = 8
+) -> np.ndarray:
+    """Deterministic coarse codebook for IVF: a strided seed from a BOUNDED
+    corpus prefix (``read_prefix_rows`` — O(sample) driver I/O, never the
+    table), refined by ``refine_iters`` Lloyd iterations of spherical
+    k-means over the same sample (``_codebook_from_sample``) so IVF list
+    assignment is stable across runs; exactness of nprobe=C paths is
+    independent of the codebook.
+    At lake scale the refinement input stays this bounded sample; when
+    codebook quality on the sample plateaus, ``kmeans_refine_distributed``
+    runs the same Lloyd update over the FULL corpus with one streaming
+    partial-sum pass per iteration."""
+    sample = read_prefix_rows(path, max(1024, n_centroids * 16)).sort_by("vec_id")
+    return _codebook_from_sample(
+        table_to_matrix(sample), n_centroids, refine_iters
+    )
 
 
 def ann_topk_ivf(
@@ -514,8 +524,6 @@ def build_ivf_index(
     nprobe = C results are exact regardless, so 0 keeps builds cheapest."""
     import os
 
-    import pyarrow.parquet as pq
-    import ray
     import ray.data
 
     path = os.path.join(sf_dir, "embeddings.parquet")
@@ -525,6 +533,20 @@ def build_ivf_index(
         centroids = kmeans_refine_distributed(
             corpus, centroids, iters=refine_iters
         )
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    _write_ivf_layout(index_dir, centroids, ds)
+    return index_dir
+
+
+def _write_ivf_layout(index_dir: str, centroids: np.ndarray, ds) -> None:
+    """Write an IVF index directory: the codebook as centroids.parquet and
+    ``ds``'s (vec_id, embedding) rows hive-partitioned by their nearest
+    centroid. Shared by ``build_ivf_index`` and ``resplit_ivf_index``."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
     cent_t = pa.table(
         {
             "centroid_id": pa.array(range(len(centroids)), pa.int64()),
@@ -550,13 +572,12 @@ def build_ivf_index(
             batch = batch.append_column("ivf_list", pa.array(assign))
             return batch.append_column("list_id", pa.array(assign))
 
-    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
     ds = ds.map_batches(
         Assigner, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)
     )
-    data_dir = os.path.join(index_dir, "data")
-    ds.write_parquet(data_dir, partition_cols=["ivf_list"])
-    return index_dir
+    ds.write_parquet(
+        os.path.join(index_dir, "data"), partition_cols=["ivf_list"]
+    )
 
 
 def ivf_index_add(index_dir: str, embeddings, vec_col: str = "embedding") -> int:
@@ -612,7 +633,141 @@ def ivf_index_add(index_dir: str, embeddings, vec_col: str = "embedding") -> int
     ds.write_parquet(
         os.path.join(index_dir, "data"), partition_cols=["ivf_list"]
     )
+    _ivf_growth_advice(index_dir)
     return n
+
+
+#: target vectors per IVF list — the ANN sibling of the lake/seen/lsh
+#: partition budgets: a probe reads nprobe lists, so list size bounds its
+#: read amplification; ``resplit_ivf_index`` re-derives the codebook at a
+#: wider C when the corpus outgrows the creation-time one
+IVF_LIST_ROW_BUDGET = 1_000_000
+IVF_MAX_LISTS = 65_536
+
+
+def ivf_list_rows(index_dir: str) -> dict:
+    """Committed vectors per IVF list, from parquet FOOTER metadata only
+    (no data read) — the observability feed for the growth advisory."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    data = os.path.join(index_dir, "data")
+    out: dict = {}
+    if not os.path.isdir(data):
+        return out
+    for d in sorted(os.listdir(data)):
+        if not d.startswith("ivf_list="):
+            continue
+        lid = int(d.split("=", 1)[1])
+        dd = os.path.join(data, d)
+        out[lid] = sum(
+            pq.ParquetFile(os.path.join(dd, f)).metadata.num_rows
+            for f in sorted(os.listdir(dd))
+            if f.endswith(".parquet")
+        )
+    return out
+
+
+def _ivf_growth_advice(index_dir: str):
+    """The IVF sibling of the seen/lsh growth monitors: when the fullest
+    list exceeds 2x the row budget, warn with the prescribed
+    ``resplit_ivf_index`` width and persist it as ``advice.json`` in the
+    index dir (this store is a plain directory, not manifest-versioned —
+    the sidecar is its metrics slot). Quiet updates remove stale advice.
+    Returns the advised list count or None."""
+    import json
+    import os
+
+    rows = ivf_list_rows(index_dir)
+    advice_path = os.path.join(index_dir, "advice.json")
+    max_rows = max(rows.values(), default=0)
+    advised = None
+    if max_rows > 2 * IVF_LIST_ROW_BUDGET:
+        import pyarrow.parquet as pq
+
+        n_lists = pq.ParquetFile(
+            os.path.join(index_dir, "centroids.parquet")
+        ).metadata.num_rows
+        want = min(
+            IVF_MAX_LISTS,
+            -(-sum(rows.values()) // IVF_LIST_ROW_BUDGET),  # ceil div
+        )
+        if want > n_lists:
+            advised = want
+            import warnings
+
+            warnings.warn(
+                f"IVF index at {index_dir!r}: fullest list holds "
+                f"{max_rows} vectors (> 2x the {IVF_LIST_ROW_BUDGET}-row "
+                f"budget) at {n_lists} lists; run "
+                f"resplit_ivf_index(index_dir, out_dir, {advised}) and "
+                "swap directories to re-partition",
+                stacklevel=3,
+            )
+            with open(advice_path, "w") as f:
+                json.dump(
+                    {"ivf_resplit_advice_n_lists": advised,
+                     "max_list_rows": int(max_rows)},
+                    f,
+                )
+    if advised is None and os.path.exists(advice_path):
+        os.remove(advice_path)
+    return advised
+
+
+def resplit_ivf_index(
+    index_dir: str,
+    out_dir: str,
+    n_centroids: int,
+    refine_iters: int = 0,
+) -> str:
+    """Re-split a materialized IVF index at a new list count from its OWN
+    stored vectors — the ANN sibling of the lake/seen/lsh ``rebucket``
+    verbs: when the indexed corpus outgrows the creation-time codebook
+    (each list is O(corpus/C) and clustered growth skews hot lists),
+    derive a fresh C'-wide codebook from a bounded sample of the INDEX's
+    data files (same strided-seed + spherical k-means as
+    ``coarse_centroids``; optional distributed Lloyd refinement over the
+    full index), then re-assign and rewrite hive-partitioned into
+    ``out_dir``. The source corpus/lake is never re-read — the index's
+    stored vectors are the only input.
+
+    Unlike the manifest-versioned stores this one is a plain directory,
+    so the re-split builds a FRESH index and the caller swaps directories
+    (atomic at the orchestration layer); the old index keeps serving
+    until the swap. Probe results at nprobe = C' equal brute force over
+    the same vectors (the codebook-independent exactness bound pinned by
+    tests/test_ivf_add.py). Returns ``out_dir``."""
+    import os
+
+    import ray.data
+
+    data_dir = os.path.join(index_dir, "data")
+    files = []
+    for dp, _, fs in sorted(os.walk(data_dir)):
+        files.extend(
+            os.path.join(dp, f) for f in sorted(fs) if f.endswith(".parquet")
+        )
+    if not files:
+        raise ValueError(f"no data files under {data_dir!r}")
+
+    # bounded codebook sample from the index's own vectors
+    need = max(1024, n_centroids * 16)
+    tabs, have = [], 0
+    for p in files:
+        tabs.append(read_prefix_rows(p, need - have))
+        have += tabs[-1].num_rows
+        if have >= need:
+            break
+    sample = pa.concat_tables(tabs).sort_by("vec_id")
+    centroids = _codebook_from_sample(table_to_matrix(sample), n_centroids)
+
+    ds = ray.data.read_parquet(files, columns=["vec_id", "embedding"])
+    if refine_iters > 0:
+        centroids = kmeans_refine_distributed(ds, centroids, iters=refine_iters)
+    _write_ivf_layout(out_dir, centroids, ds)
+    return out_dir
 
 
 def ann_topk_ivf_indexed(
