@@ -669,12 +669,14 @@ def ivf_list_rows(index_dir: str) -> dict:
     return out
 
 
-def _ivf_growth_advice(index_dir: str):
+def _ivf_growth_advice(index_dir: str, fix: str | None = None):
     """The IVF sibling of the seen/lsh growth monitors: when the fullest
-    list exceeds 2x the row budget, warn with the prescribed
-    ``resplit_ivf_index`` width and persist it as ``advice.json`` in the
-    index dir (this store is a plain directory, not manifest-versioned —
-    the sidecar is its metrics slot). Quiet updates remove stale advice.
+    list exceeds 2x the row budget, warn with the prescribed re-partition
+    fix and persist it as ``advice.json`` in the index dir (this store is
+    a plain directory, not manifest-versioned — the sidecar is its
+    metrics slot). Quiet updates remove stale advice. ``fix`` overrides
+    the prescription text (the PQ store rebuilds instead of re-splitting:
+    codes are lossy, so re-deriving a codebook needs the corpus).
     Returns the advised list count or None."""
     import json
     import os
@@ -700,9 +702,10 @@ def _ivf_growth_advice(index_dir: str):
             warnings.warn(
                 f"IVF index at {index_dir!r}: fullest list holds "
                 f"{max_rows} vectors (> 2x the {IVF_LIST_ROW_BUDGET}-row "
-                f"budget) at {n_lists} lists; run "
-                f"resplit_ivf_index(index_dir, out_dir, {advised}) and "
-                "swap directories to re-partition",
+                f"budget) at {n_lists} lists; "
+                + (fix.format(advised=advised) if fix else
+                   f"run resplit_ivf_index(index_dir, out_dir, {advised}) "
+                   "and swap directories to re-partition"),
                 stacklevel=3,
             )
             with open(advice_path, "w") as f:

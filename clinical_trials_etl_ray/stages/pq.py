@@ -391,4 +391,14 @@ def pq_index_add(index_dir: str, embeddings) -> int:
     ds.write_parquet(
         os.path.join(index_dir, "data"), partition_cols=["ivf_list"]
     )
+    # same growth monitor as the float-vector IVF store, different fix:
+    # PQ codes are lossy, so a wider codebook needs the corpus — the
+    # prescription is a rebuild, not an index-local re-split
+    from .embed import _ivf_growth_advice
+
+    _ivf_growth_advice(
+        index_dir,
+        fix="rebuild with build_pq_index at n_centroids={advised} "
+            "(PQ codes are lossy — re-splitting needs the corpus)",
+    )
     return n

@@ -174,3 +174,40 @@ def test_pq_index_add_incremental(ray_session, tmp_path):
         tail.column("vec_id").to_numpy(zero_copy_only=False), "code"
     ]
     assert [bytes(w) for w in want] == list(got)
+
+
+def test_pq_add_growth_advisory_prescribes_rebuild(
+    ray_session, tmp_path, monkeypatch
+):
+    """The PQ store shares the IVF growth monitor but its prescription is
+    a rebuild (codes are lossy — a wider codebook needs the corpus), and
+    the advice persists as advice.json, this plain-directory store's
+    metrics slot."""
+    import json
+    import os
+    import warnings
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    import clinical_trials_etl_ray.stages.embed as E
+    from clinical_trials_etl_ray.stages.pq import pq_index_add
+
+    monkeypatch.setattr(E, "IVF_LIST_ROW_BUDGET", 10)
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    half = t.num_rows // 2
+    half_dir = tmp_path / "half_sf"
+    half_dir.mkdir()
+    pq.write_table(t.slice(0, half), str(half_dir / "embeddings.parquet"))
+    idx = str(tmp_path / "idx")
+    build_pq_index(str(half_dir), idx, n_centroids=2, m=8, ks=32)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pq_index_add(idx, ray.data.from_arrow(t.slice(half)))
+    msgs = [str(x.message) for x in w if "build_pq_index" in str(x.message)]
+    assert msgs and "lossy" in msgs[0], [str(x.message) for x in w]
+    advice = json.load(open(os.path.join(idx, "advice.json")))
+    assert advice["ivf_resplit_advice_n_lists"] == 50  # ceil(500/10)
