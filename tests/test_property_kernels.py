@@ -263,3 +263,46 @@ def test_repetition_kernel_matches_naive(texts):
         words = (text or "").split()
         assert got["n_words"][i] == len(words)
         assert got["n_distinct"][i] == len(set(words))
+
+
+# --------------------------------------------------------------------------
+# Seen-index fingerprint stamping: split invariance of the pure kernel
+# --------------------------------------------------------------------------
+
+@given(
+    texts=st.lists(
+        st.one_of(st.none(), st.text(max_size=20)), min_size=1, max_size=40
+    ),
+    num_buckets=st.integers(1, 64),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_stamp_fingerprints_split_invariant(texts, num_buckets, data):
+    """The routing kernel behind every seen-index exchange: stamping a
+    frame in one batch equals stamping any split of it (what makes
+    N-increment builds ≡ one-shot), fingerprints depend only on the text
+    (None hashes as ''), and every bucket is in range."""
+    from clinical_trials_etl_ray.stages.seen_index import (
+        BUCKET_COL,
+        FP_COL,
+        stamp_fingerprints,
+    )
+
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    whole = stamp_fingerprints(df, "text", num_buckets)
+
+    cut = data.draw(st.integers(0, len(df)))
+    parts = [df.iloc[:cut], df.iloc[cut:]]
+    split = pd.concat(
+        [stamp_fingerprints(p, "text", num_buckets) for p in parts if len(p)],
+        ignore_index=True,
+    )
+    pd.testing.assert_frame_equal(
+        whole.reset_index(drop=True), split, check_dtype=False
+    )
+    assert whole[BUCKET_COL].between(0, num_buckets - 1).all()
+    # same text (or None ≡ '') → same fingerprint, always
+    fp_by_text = {}
+    for t, fp in zip(texts, whole[FP_COL]):
+        key = t if isinstance(t, str) else ""
+        assert fp_by_text.setdefault(key, fp) == fp
