@@ -326,21 +326,25 @@ def run_scaling() -> dict:
         int(os.environ.get("GRAFT_SCALING_CPUS_LO", "1")),
         int(os.environ.get("GRAFT_SCALING_CPUS_HI", "4")),
     )
+    # probe at the SAME process counts as the chosen lo/hi pair so the
+    # machine-scaling normalization describes the actual window (the default
+    # 1→4 pair keeps the historical memcpy_1p/4p keys)
+    k_lo, k_hi = f"memcpy_{n_lo}p_gbps", f"memcpy_{n_hi}p_gbps"
     # INTERLEAVE levels: host contention drifts on minute scales, so
     # running all lo trials then all hi trials biases the ratio by whatever
     # the machine did in between; alternating exposes both levels to the
     # same contention trajectory
     probe_before = {
-        "memcpy_1p_gbps": memcpy_probe(1),
-        "memcpy_4p_gbps": memcpy_probe(4),
+        k_lo: memcpy_probe(n_lo),
+        k_hi: memcpy_probe(n_hi),
     }
     lo_runs, hi_runs = [], []
     for _ in range(trials):
         lo_runs.append(run(n_lo))
         hi_runs.append(run(n_hi))
     probe_after = {
-        "memcpy_1p_gbps": memcpy_probe(1),
-        "memcpy_4p_gbps": memcpy_probe(4),
+        k_lo: memcpy_probe(n_lo),
+        k_hi: memcpy_probe(n_hi),
     }
     lo = min(lo_runs, key=lambda r: r["value"])
     hi = min(hi_runs, key=lambda r: r["value"])
@@ -369,10 +373,8 @@ def run_scaling() -> dict:
     # instead of) the raw ratio; capped at the raw value's ceiling of 1.
     probe_eff = []
     for p in (probe_before, probe_after):
-        if p["memcpy_1p_gbps"] > 0:
-            probe_eff.append(
-                (p["memcpy_4p_gbps"] / p["memcpy_1p_gbps"]) / (n_hi / n_lo)
-            )
+        if p[k_lo] > 0:
+            probe_eff.append((p[k_hi] / p[k_lo]) / (n_hi / n_lo))
     machine_scaling = sum(probe_eff) / len(probe_eff) if probe_eff else 1.0
     eff_bw_norm = min(1.0, eff / machine_scaling) if machine_scaling > 0 else eff
     return {
