@@ -355,10 +355,11 @@ def run_scaling() -> dict:
     # contention trajectory, so the per-round ratio is the fairest unit;
     # the median of those is robust to a single fast/slow outlier trial
     # (best-of-K grows biased as K widens the 1-CPU fast tail)
-    paired = sorted(
+    paired_chrono = [
         l["value"] / (h["value"] * (n_hi / n_lo))
         for l, h in zip(lo_runs, hi_runs)
-    )
+    ]
+    paired = sorted(paired_chrono)
     eff_paired_median = paired[len(paired) // 2] if len(paired) % 2 else (
         (paired[len(paired) // 2 - 1] + paired[len(paired) // 2]) / 2
     )
@@ -391,7 +392,12 @@ def run_scaling() -> dict:
         "scaling_efficiency_paired_median": round(eff_paired_median, 3),
         "machine_memcpy_scaling": round(machine_scaling, 3),
         "scaling_efficiency_bandwidth_normalized": round(eff_bw_norm, 3),
-        "per_round_efficiency": [round(v, 3) for v in paired],
+        # chronological (round 1..K order, matching all_sec_lo/all_sec_hi);
+        # before 2026-08-20 this key was emitted SORTED ascending — ledger
+        # rows for scaling windows 20-85 narrated that sorted list, so their
+        # "final round" phrasing denotes the BEST paired round (see the
+        # methodology erratum in BASELINE.md)
+        "per_round_efficiency": [round(v, 3) for v in paired_chrono],
         "n_events": N_EVENTS,
         "host_probe_before": probe_before,
         "host_probe_after": probe_after,
